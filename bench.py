@@ -1,0 +1,94 @@
+"""Benchmark harness: the BASELINE.md headline metric on real hardware.
+
+Renders the RTiOW final cover scene (~480 spheres) at 1200x800, 500 spp,
+depth 50 and reports Mrays/s (a "ray" = one live ray-bounce segment, counted
+exactly on device). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/500}
+
+vs_baseline is against the 500 Mrays/s target from BASELINE.json ("converged
+in <2 s on one TPU chip at >500 Mrays/s").
+
+Env knobs: BENCH_CONFIG (default 'cover'), BENCH_SPP, BENCH_BACKEND,
+BENCH_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MRAYS = 500.0
+
+
+def main() -> int:
+    config = os.environ.get("BENCH_CONFIG", "cover")
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    try:
+        import jax
+
+        from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()
+
+        from raytracer_tpu.render.api import render_image
+        from raytracer_tpu.render.options import TraceOptions
+        from raytracer_tpu.scene import presets
+
+        scene, cam, w, h, spp, depth = presets.get_config(config)
+        spp = int(os.environ.get("BENCH_SPP", spp))
+        opts = TraceOptions(max_depth=depth, backend=backend)
+        key = jax.random.PRNGKey(0)
+
+        def run(k):
+            img, stats = render_image(
+                scene, cam, w, h, spp, k, opts, return_stats=True
+            )
+            img.block_until_ready()
+            return img, float(stats["segments"])
+
+        # warmup / compile
+        warm_spp_env = os.environ.get("BENCH_SKIP_WARMUP")
+        if not warm_spp_env:
+            run(key)
+
+        best = None
+        segments = 0.0
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            _, segments = run(jax.random.fold_in(key, i))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+
+        mrays = segments / best / 1e6
+        result = {
+            "metric": f"{config}_{w}x{h}_spp{spp}_depth{depth} Mrays/sec/chip",
+            "value": round(mrays, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+            "wall_s": round(best, 3),
+            "segments": segments,
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+        }
+    except Exception as e:  # the driver needs a JSON line even on failure
+        result = {
+            "metric": "cover Mrays/sec/chip",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }
+        print(json.dumps(result))
+        return 1
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

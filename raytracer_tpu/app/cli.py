@@ -1,0 +1,101 @@
+"""Offline CLI renderer: scene preset → PNG.
+
+The batch-mode analog of the reference's interactive-only app (which could
+only export via the browser's Save Image button, src/dom.rs:118-143). Usage:
+
+    python -m raytracer_tpu.app.cli --config cover --spp 500 --out cover.png
+    python -m raytracer_tpu.app.cli --config demo --width 640 --height 360 \
+        --progressive-frames 64 --out demo.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+
+from raytracer_tpu.progressive.state import init_render_state
+from raytracer_tpu.progressive.step import make_step_fn, run_frames
+from raytracer_tpu.render.api import render_image
+from raytracer_tpu.render.options import TraceOptions
+from raytracer_tpu.scene import presets
+from raytracer_tpu.utils.profiling import mrays_per_sec
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raytracer_tpu", description="TPU-native RTiOW path tracer"
+    )
+    p.add_argument("--config", default="demo", choices=sorted(presets.BASELINE_CONFIGS))
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="render.png")
+    p.add_argument(
+        "--backend", default="auto", choices=["auto", "jnp", "pallas"]
+    )
+    p.add_argument(
+        "--progressive-frames",
+        type=int,
+        default=0,
+        help="render N 1-spp frames progressively instead of one batch render",
+    )
+    p.add_argument(
+        "--book-physics",
+        action="store_true",
+        help="canonical RTiOW physics (black on depth exhaustion + near-zero "
+        "guard) instead of reference quirks",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    scene, cam, w, h, spp, depth = presets.get_config(
+        args.config, args.width, args.height
+    )
+    spp = args.spp or spp
+    depth = args.max_depth or depth
+    opts = TraceOptions(
+        max_depth=depth,
+        backend=args.backend,
+        exhaust_black=args.book_physics,
+        near_zero_guard=args.book_physics,
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.perf_counter()
+    if args.progressive_frames > 0:
+        step = make_step_fn(w, h, spp=spp, opts=opts)
+        state = init_render_state(w, h, key)
+        state, segments = run_frames(step, state, scene, cam, args.progressive_frames)
+        image = state.accum
+    else:
+        image, stats = render_image(
+            scene, cam, w, h, spp, key, opts, return_stats=True
+        )
+        image.block_until_ready()
+        segments = float(stats["segments"])
+    elapsed = time.perf_counter() - t0
+
+    from raytracer_tpu.app import io
+
+    io.save_png(args.out, image)
+    print(
+        f"{args.config}: {w}x{h} spp={spp} depth={depth} "
+        f"backend={args.backend} -> {args.out}\n"
+        f"wall={elapsed:.3f}s rays={segments/1e6:.1f}M "
+        f"({mrays_per_sec(segments, elapsed):.1f} Mrays/s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,242 @@
+"""The interactive engine: a headless rebuild of the reference's frame loop.
+
+Maps 1:1 onto the rAF closure of src/lib.rs:61-107 —
+
+    tick(now):                          # rAF callback
+      update_position (fly-cam)         # src/state.rs:411-441
+      autofocus / picking               # src/state.rs:453-471
+      should_render gate                # src/lib.rs:77-82
+      resize debounce                   # src/lib.rs:85-90
+      update_render_globals + fps       # src/state.rs:443-450, 400-409
+      device step (trace + accumulate)  # uniforms+draw+draw → ONE jitted step
+      save_image if flagged             # src/dom.rs:126-143
+      fps indicator                     # src/dom.rs:145-158
+
+— but with all per-frame math on-device and zero host round-trips in steady
+state. Input events go through the same command-queue pattern the reference
+uses (handlers mutate host state; the next tick consumes it).
+
+The reference re-renders the whole scene twice per frame when averaging
+(src/webgl.rs:196-204); this engine traces once. Resolution changes re-jit
+(the analog of reallocating the ping-pong textures, src/state.rs:379-397);
+camera/scene changes never do.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from raytracer_tpu.camera import controller
+from raytracer_tpu.camera.camera import CameraConfig
+from raytracer_tpu.interact.appstate import AppState, cameras_equal
+from raytracer_tpu.interact.picking import update_cursor_state
+from raytracer_tpu.progressive.state import (
+    RenderState,
+    init_render_state,
+    reset_accumulation,
+)
+from raytracer_tpu.progressive.step import make_step_fn
+from raytracer_tpu.render.options import DebugParams, TraceOptions
+from raytracer_tpu.scene.spheres import Scene
+
+
+class Engine:
+    """Owns the device pytrees + host AppState and advances one frame per
+    :meth:`tick`."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        camera: CameraConfig,
+        width: int,
+        height: int,
+        spp: int = 1,
+        max_depth: int = 8,
+        backend: str = "jnp",
+        seed: int = 0,
+        enable_debugging: bool = False,
+        exhaust_black: bool = False,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.app = AppState(
+            width=width,
+            height=height,
+            samples_per_pixel=spp,
+            max_depth=max_depth,
+            enable_debugging=enable_debugging,
+        )
+        self.backend = backend
+        self.exhaust_black = exhaust_black
+        self.render_state: RenderState = init_render_state(
+            width, height, jax.random.PRNGKey(seed)
+        )
+        self._step_cache: dict = {}
+        self._saved_images: list = []
+        self.on_save: Optional[Callable[[np.ndarray], None]] = None
+        self.total_segments = 0.0
+
+    # --- step-function management (recompile only on static changes) -----
+
+    def _step_fn(self, spp: int):
+        key = (self.app.width, self.app.height, spp, self.app.max_depth,
+               self.app.should_average, self.app.enable_debugging)
+        if key not in self._step_cache:
+            opts = TraceOptions(
+                max_depth=self.app.max_depth,
+                enable_debug=self.app.enable_debugging,
+                exhaust_black=self.exhaust_black,
+                backend=self.backend,
+            )
+            self._step_cache[key] = make_step_fn(
+                self.app.width,
+                self.app.height,
+                spp=spp,
+                opts=opts,
+                should_average=self.app.should_average,
+                last_frame_weight=self.app.last_frame_weight,
+                max_render_count=self.app.max_render_count,
+            )
+        return self._step_cache[key]
+
+    def _debug_params(self) -> DebugParams:
+        import jax.numpy as jnp
+
+        return DebugParams(
+            cursor_point=jnp.asarray(self.app.cursor_point, jnp.float32),
+            selected_object=jnp.asarray(self.app.selected_object, jnp.int32),
+        )
+
+    # --- input events (src/dom.rs handlers) ------------------------------
+
+    def handle_wheel(self, delta_y_sign: float) -> None:
+        self._apply_camera(controller.zoom(self.camera, delta_y_sign))
+
+    def handle_mouse_move(self, dx: float, dy: float) -> None:
+        cam = controller.mouse_look(
+            self.camera, dx, dy, self.app.look_sensitivity
+        )
+        self._apply_camera(cam, update_cursor=True)
+
+    def handle_key(self, name: str, down: bool) -> None:
+        if name == "escape" and down:
+            self.set_paused(True)
+            return
+        if hasattr(self.app.keydown_map, name):
+            setattr(self.app.keydown_map, name, down)
+
+    def handle_resize(self, raw_w: float, raw_h: float, now_ms=None) -> None:
+        self.app.request_resize(now_ms if now_ms is not None else _now_ms())
+        self._pending_resize = (raw_w, raw_h)
+
+    def request_save(self) -> None:
+        """handle_save_image (src/dom.rs:118-124)."""
+        self.app.should_render = True
+        self.app.should_save = True
+
+    def reset(self) -> None:
+        """handle_reset (src/dom.rs:42-46): restore defaults, restart."""
+        self.render_state = reset_accumulation(self.render_state)
+        self.app.render_count = 0
+        self.app.should_render = True
+
+    def set_paused(self, paused: bool) -> None:
+        self.app.is_paused = paused
+        if not paused:
+            self.app.should_render = True
+
+    # --- camera mutation with change-detection ---------------------------
+
+    def _apply_camera(self, new_cam: CameraConfig, update_cursor=False) -> None:
+        if update_cursor or self.app.enable_debugging:
+            new_cam, cursor_point, selected = update_cursor_state(
+                self.scene, new_cam
+            )
+            self.app.cursor_point = tuple(np.asarray(cursor_point))
+            self.app.selected_object = int(selected)
+        if not cameras_equal(new_cam, self.camera):
+            # update_pipeline's diff-detect (src/state.rs:343-346)
+            self.camera = new_cam
+            self.render_state = reset_accumulation(self.render_state)
+            self.app.render_count = 0
+            self.app.should_render = True
+
+    # --- the frame loop ----------------------------------------------------
+
+    def tick(self, now_ms: Optional[float] = None) -> bool:
+        """One frame. Returns True if a render was issued."""
+        now = now_ms if now_ms is not None else _now_ms()
+        dt = now - self.app.prev_now if self.app.prev_now else 16.0
+
+        # fly-cam (src/lib.rs:73 → src/state.rs:411-441)
+        if not self.app.keydown_map.all_false():
+            cam = controller.update_position(self.camera, self.app.keydown_map, dt)
+            self._apply_camera(cam, update_cursor=True)
+
+        should_render = self.app.compute_should_render()
+
+        # resize debounce (src/lib.rs:85-90)
+        if self.app.resize_due(now) and getattr(self, "_pending_resize", None):
+            raw_w, raw_h = self._pending_resize
+            self._pending_resize = None
+            w, h = self.app.apply_resize(raw_w, raw_h, now)
+            self.render_state = init_render_state(
+                w, h, self.render_state.key
+            ).replace(frame=self.render_state.frame)
+            self.app.render_count = 0
+            self.app.should_render = True
+
+        if not should_render:
+            self.app.prev_now = now
+            return False
+
+        self.app.update_render_globals()
+        self.app.update_moving_fps(now, dt)
+
+        step = self._step_fn(self.app.effective_spp())
+        self.render_state, aux = step(
+            self.render_state, self.scene, self.camera, self._debug_params()
+        )
+        self.total_segments += float(aux["segments"])
+
+        if self.app.should_save:
+            self.app.should_save = False
+            self.save_image()
+        return True
+
+    # --- output ------------------------------------------------------------
+
+    def framebuffer(self) -> np.ndarray:
+        """Current accumulated image (H, W, 3) f32, GL row order."""
+        return np.asarray(self.render_state.accum)
+
+    def save_image(self, path: Optional[str] = None):
+        """PNG export of the current framebuffer (src/dom.rs:126-143)."""
+        from raytracer_tpu.app import io
+
+        img = self.framebuffer()
+        if path is not None:
+            io.save_png(path, img)
+            return path
+        data = io.encode_png(img)
+        self._saved_images.append(data)
+        if self.on_save:
+            self.on_save(img)
+        return data
+
+    def run(self, n_frames: int, frame_time_ms: float = 16.0) -> None:
+        """Drive n frames with a synthetic clock (headless)."""
+        start = self.app.prev_now or 0.0
+        for i in range(n_frames):
+            self.tick(start + (i + 1) * frame_time_ms)
+
+    def fps(self) -> float:
+        return float(self.app.prev_fps.mean())
+
+
+def _now_ms() -> float:
+    return time.monotonic() * 1000.0

@@ -1,0 +1,83 @@
+"""Deterministic counter-based sampling primitives.
+
+Replaces the reference's two RNGs — the time-seeded stateful hash-chain in
+the shader (static/shader.frag:11-36: ``global_seed`` mutated by every draw,
+seeded from pixel position + wall-clock ``u_time``) and ``js_sys::Math.random``
+on the host (src/math.rs:86-100) — with counter-based ``jax.random``. Keys are
+folded from (frame, sample, bounce, purpose), so renders are bitwise
+reproducible and shard-invariant, which the reference cannot be.
+
+The *distributions* match the reference exactly:
+- unit-sphere: reinder's direct polar method with cbrt radius
+  (static/shader.frag:114-121),
+- unit-disk: sqrt-radius polar (static/shader.frag:123-129),
+- unit vector: normalized unit-sphere sample (static/shader.frag:131-133),
+- sub-pixel jitter: uniform [0,1)^2 scaled by 1/(w,h) (static/shader.frag:365-369).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def fold(key, *counters: int):
+    """Fold a chain of counters into a key: key ⊕ (frame, sample, bounce, ...)."""
+    for c in counters:
+        key = jax.random.fold_in(key, c)
+    return key
+
+
+def random_in_unit_sphere(key, shape=()):
+    """Uniform point *inside* the unit sphere, shape ``shape + (3,)``.
+
+    Exact port of the reference's distribution (static/shader.frag:114-121):
+    h = u3 * (2, 2π, 1) - (1, 0, 0); r = h.z^(1/3);
+    p = r * (sqrt(1-h.x²)·sin(φ), sqrt(1-h.x²)·cos(φ), h.x).
+    """
+    u = jax.random.uniform(key, shape + (3,), dtype=jnp.float32)
+    hx = u[..., 0] * 2.0 - 1.0
+    phi = u[..., 1] * (2.0 * math.pi)
+    r = jnp.cbrt(u[..., 2])
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - hx * hx))
+    return jnp.stack(
+        [r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * hx], axis=-1
+    )
+
+
+def random_unit_vector(key, shape=()):
+    """Uniform direction on the unit sphere (static/shader.frag:131-133)."""
+    v = random_in_unit_sphere(key, shape)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def random_in_unit_disk(key, shape=()):
+    """Uniform point in the unit disk, shape ``shape + (2,)``
+    (static/shader.frag:123-129): a = 2π·u1, r = sqrt(u2)."""
+    u = jax.random.uniform(key, shape + (2,), dtype=jnp.float32)
+    a = u[..., 0] * (2.0 * math.pi)
+    r = jnp.sqrt(u[..., 1])
+    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a)], axis=-1)
+
+
+def sphere_disk_glass_uniforms(key, shape=()):
+    """One bounce's worth of material randomness, from a single key.
+
+    Returns (unit_vec (...,3), unit_sphere (...,3), glass_u (...,)) — the
+    three independent draws `scatter` consumes per bounce
+    (static/shader.frag:217, 240, 267).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    return (
+        random_unit_vector(k1, shape),
+        random_in_unit_sphere(k2, shape),
+        jax.random.uniform(k3, shape, dtype=jnp.float32),
+    )
+
+
+def pixel_jitter(key, shape=()):
+    """Sub-pixel AA jitter in [0,1)^2, to be scaled by 1/(w,h)
+    (static/shader.frag:365-369)."""
+    return jax.random.uniform(key, shape + (2,), dtype=jnp.float32)

@@ -1,0 +1,82 @@
+"""ctypes loader for the native image-export runtime (libfastpng.so).
+
+Builds on demand with the system toolchain if the shared object is missing;
+falls back cleanly (``LIB is None``) so pure-Python PNG encoding
+(raytracer_tpu.app.io) keeps everything working without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfastpng.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load():
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.rt_tonemap_u8.restype = ctypes.c_int
+    lib.rt_tonemap_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.rt_write_png.restype = ctypes.c_int
+    lib.rt_write_png.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    return lib
+
+
+LIB = _load()
+
+
+def encode_png_native(rgb_f32, flip_vertical: bool = True) -> bytes | None:
+    """float32 (H, W, 3) framebuffer → PNG bytes via the C++ runtime,
+    or None if the native library is unavailable."""
+    if LIB is None:
+        return None
+    import numpy as np
+
+    arr = np.ascontiguousarray(rgb_f32, dtype=np.float32)
+    h, w, _ = arr.shape
+    cap = ctypes.c_size_t(h * w * 3 + (h * w * 3) // 2 + 4096)
+    out = (ctypes.c_uint8 * cap.value)()
+    rc = LIB.rt_write_png(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h,
+        w,
+        1 if flip_vertical else 0,
+        out,
+        ctypes.byref(cap),
+    )
+    if rc != 0:
+        return None
+    return bytes(bytearray(out)[: cap.value])

@@ -1,0 +1,233 @@
+"""Pixel-row + spp sharding of the tracer over a 2-D device mesh.
+
+Layout: mesh ``(rows, spp)``. Each device traces ``H/rows`` image rows at
+``spp/spp_axis`` samples. Row shards never communicate; spp shards reduce
+with a single ``psum`` of linear color before gamma. Keys are folded per
+(row-shard, spp-shard) so the full-mesh render equals a single-device render
+of the same (shard, sample) decomposition — deterministic at every mesh size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytracer_tpu.camera.camera import CameraConfig, DerivedCamera, derive_camera, pixel_st_grid
+from raytracer_tpu.progressive.state import RenderState
+from raytracer_tpu.progressive.step import (
+    DEFAULT_LAST_FRAME_WEIGHT,
+    DEFAULT_MAX_RENDER_COUNT,
+    accumulate,
+)
+from raytracer_tpu.render.options import DebugParams, TraceOptions
+from raytracer_tpu.render.tracer import render_sample
+from raytracer_tpu.scene.spheres import Scene
+
+
+def make_mesh(axis_sizes: Sequence[int], axis_names: Sequence[str] = ("rows", "spp")):
+    """Build a Mesh over the first prod(axis_sizes) visible devices."""
+    import numpy as np
+
+    n = int(np.prod(axis_sizes))
+    devices = np.array(jax.devices()[:n]).reshape(tuple(axis_sizes))
+    return Mesh(devices, tuple(axis_names))
+
+
+def _render_shard(
+    scene: Scene,
+    dcam: DerivedCamera,
+    st_block,  # (rows_local, W, 2) — this shard's pixel rows
+    key,
+    width: int,
+    height: int,
+    spp_local: int,
+    opts: TraceOptions,
+    debug: DebugParams,
+    spp_axis: str | None,
+):
+    """Per-device body: trace this row block at spp_local samples, mean over
+    the spp mesh axis in linear space, then gamma."""
+    rows_local = st_block.shape[0]
+    st = st_block.reshape(-1, 2)
+    # distinct stream per (row-shard, spp-shard)
+    key = jax.random.fold_in(key, jax.lax.axis_index("rows"))
+    if spp_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(spp_axis))
+
+    def body(s, carry):
+        acc, segments = carry
+        skey = jax.random.fold_in(key, s)
+        color, seg = render_sample(
+            scene, dcam, st, skey, width, height, opts, debug
+        )
+        return acc + color, segments + seg
+
+    acc, segments = jax.lax.fori_loop(
+        0,
+        spp_local,
+        body,
+        (jnp.zeros((st.shape[0], 3), jnp.float32), jnp.asarray(0.0)),
+    )
+    if spp_axis is not None:
+        acc = jax.lax.psum(acc, spp_axis)
+        segments = jax.lax.psum(segments, spp_axis)
+        total_spp = spp_local * jax.lax.axis_size(spp_axis)
+    else:
+        total_spp = spp_local
+    color = acc * (1.0 / total_spp)
+    if opts.gamma:
+        color = jnp.sqrt(jnp.maximum(color, 0.0))
+    return color.reshape(rows_local, -1, 3), segments[None]
+
+
+def render_image_sharded(
+    scene: Scene,
+    camera: CameraConfig,
+    width: int,
+    height: int,
+    spp: int,
+    key,
+    mesh: Mesh,
+    opts: TraceOptions | None = None,
+    debug: DebugParams | None = None,
+    return_stats: bool = False,
+):
+    """Offline render sharded over ``mesh`` (axes 'rows' and optionally
+    'spp'). Requires height % rows == 0 and spp % spp_axis == 0."""
+    opts = opts or TraceOptions()
+    debug = debug if debug is not None else DebugParams.none()
+    rows = mesh.shape["rows"]
+    spp_axis = "spp" if "spp" in mesh.shape else None
+    spp_size = mesh.shape.get("spp", 1)
+    if height % rows:
+        raise ValueError(f"height {height} not divisible by rows axis {rows}")
+    if spp % spp_size:
+        raise ValueError(f"spp {spp} not divisible by spp axis {spp_size}")
+
+    dcam = derive_camera(camera)
+    st = pixel_st_grid(width, height)  # (H, W, 2)
+
+    body = functools.partial(
+        _render_shard,
+        width=width,
+        height=height,
+        spp_local=spp // spp_size,
+        opts=opts,
+        debug=debug,
+        spp_axis=spp_axis,
+    )
+    in_specs = (
+        P(),  # scene (replicated)
+        P(),  # dcam
+        P("rows", None, None),  # st rows
+        P(),  # key
+    )
+    out_specs = (P("rows", None, None), P("rows") if spp_axis is None else P("rows"))
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    image, segments = jax.jit(fn)(scene, dcam, st, key)
+    if return_stats:
+        return image, {"segments": jnp.sum(segments)}
+    return image
+
+
+def make_sharded_step_fn(
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int = 1,
+    opts: TraceOptions | None = None,
+    should_average: bool = True,
+    last_frame_weight: float = DEFAULT_LAST_FRAME_WEIGHT,
+    max_render_count: int = DEFAULT_MAX_RENDER_COUNT,
+):
+    """Progressive step over the mesh: the accumulation buffer lives sharded
+    over rows frame-to-frame (no gather until display/export). The full
+    device-state update — trace, psum over spp, blend — is one jitted
+    program; the input state is donated."""
+    opts = opts or TraceOptions()
+    rows = mesh.shape["rows"]
+    spp_axis = "spp" if "spp" in mesh.shape else None
+    spp_size = mesh.shape.get("spp", 1)
+    if height % rows:
+        raise ValueError(f"height {height} not divisible by rows axis {rows}")
+    if spp % spp_size:
+        raise ValueError(f"spp {spp} not divisible by spp axis {spp_size}")
+
+    st_full = pixel_st_grid(width, height)
+
+    def shard_body(accum_block, st_block, frame, key, scene, dcam, debug):
+        frame_key = jax.random.fold_in(key, frame[0])
+        color, segments = _render_shard(
+            scene,
+            dcam,
+            st_block,
+            frame_key,
+            width,
+            height,
+            spp // spp_size,
+            opts,
+            debug,
+            spp_axis,
+        )
+        return color, segments
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(
+            P("rows", None, None),  # accum block (carried for locality)
+            P("rows", None, None),  # st rows
+            P(),  # frame (replicated, (1,))
+            P(),  # key
+            P(),  # scene
+            P(),  # dcam
+            P(),  # debug
+        ),
+        out_specs=(P("rows", None, None), P("rows")),
+        check_rep=False,
+    )
+
+    def step(state: RenderState, scene: Scene, camera: CameraConfig,
+             debug: DebugParams):
+        dcam = derive_camera(camera)
+        color, segments = fn(
+            state.accum,
+            st_full,
+            state.frame[None],
+            state.key,
+            scene,
+            dcam,
+            debug,
+        )
+        render_count = jnp.minimum(state.render_count + 1, max_render_count)
+        if should_average:
+            accum = accumulate(state.accum, color, render_count, last_frame_weight)
+        else:
+            accum = color
+        new_state = state.replace(
+            accum=accum, render_count=render_count, frame=state.frame + 1
+        )
+        return new_state, {"segments": jnp.sum(segments)}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def shard_render_state(state: RenderState, mesh: Mesh) -> RenderState:
+    """Place the accumulation buffer row-sharded on the mesh (everything
+    else replicated)."""
+    accum = jax.device_put(
+        state.accum, NamedSharding(mesh, P("rows", None, None))
+    )
+    rep = NamedSharding(mesh, P())
+    return RenderState(
+        accum=accum,
+        render_count=jax.device_put(state.render_count, rep),
+        frame=jax.device_put(state.frame, rep),
+        key=jax.device_put(state.key, rep),
+    )

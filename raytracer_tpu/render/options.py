@@ -1,0 +1,53 @@
+"""Static trace options + the device-side debug parameter pytree."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct
+import jax.numpy as jnp
+
+from raytracer_tpu.scene.spheres import NO_SELECTED_OBJECT_ID
+
+# Kernel constants (static/shader.frag:4-6).
+MIN_T = 0.001
+MAX_T = 1e5
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceOptions:
+    """Static (compile-time) tracing options.
+
+    ``exhaust_black`` / ``near_zero_guard`` select between canonical-RTiOW
+    physics and two documented reference quirks:
+
+    - the reference returns the *accumulated throughput* when the bounce
+      budget is exhausted instead of black (static/shader.frag:338, vs. the
+      book's ``return color(0,0,0)``). Default False = reference behavior.
+    - the book re-aims near-zero Lambertian scatter directions at the normal;
+      the reference has this guard commented out (static/shader.frag:222-225).
+      Default False = reference behavior.
+    """
+
+    max_depth: int = 8
+    exhaust_black: bool = False
+    near_zero_guard: bool = False
+    gamma: bool = True
+    enable_debug: bool = False
+    backend: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+
+
+@flax.struct.dataclass
+class DebugParams:
+    """Device-side debug inputs (the u_cursor_point / u_selected_object
+    uniforms, static/shader.frag:101-102)."""
+
+    cursor_point: jnp.ndarray  # (3,)
+    selected_object: jnp.ndarray  # () int32
+
+    @classmethod
+    def none(cls) -> "DebugParams":
+        return cls(
+            cursor_point=jnp.zeros((3,), jnp.float32),
+            selected_object=jnp.asarray(NO_SELECTED_OBJECT_ID, jnp.int32),
+        )

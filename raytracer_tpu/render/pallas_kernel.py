@@ -1,0 +1,605 @@
+"""Pallas TPU megakernel: the whole per-pixel path tracer in one kernel.
+
+This is the TPU-native re-creation of static/shader.frag as a single fused
+kernel: camera ray-gen (shader.frag:342-351), the spp loop (360-383), the
+bounce loop (297-339), closest-hit sphere scan (136-196), branch-free
+materials (210-286), sky miss (289-294), and spp-average + sqrt gamma
+(376-380) — all executed per image tile without ever leaving VMEM.
+
+Design notes (vs. both the GLSL kernel and the plain-jnp tracer):
+
+- Grid over flat pixel tiles of (R_SUB, 128) lanes; each kernel instance
+  owns TILE = R_SUB*128 pixels and runs all spp samples and bounces for
+  them. Ray state is SoA f32 registers (ox, oy, oz, dx, ...), never (N, 3)
+  arrays, so every op is a full-width VPU op.
+- The bounce loop is a ``while_loop`` gated on "any lane still alive":
+  tiles whose rays all terminated (sky/absorb) exit early. This is the TPU
+  analog of SIMT warp retirement — the GLSL kernel's per-thread ``return``
+  (shader.frag:310/328/334) becomes per-tile early exit + per-lane masks.
+- The closest-hit scan is vectorized over BOTH rays and spheres: the scene
+  is a (S_pad, 12) VMEM column table, spheres broadcast on sublanes against
+  each 128-ray lane row, and the closest hit is a sublane min-reduction —
+  no scalar per-sphere loop anywhere. Precomputed per-sphere constants
+  (|c|^2 - r^2, signed 1/r) cut the inner op count; the signed 1/r
+  reproduces the negative-radius normal flip (shader.frag:170) for free.
+- RNG is a counter-based integer hash (lowbias32) keyed on
+  (pixel, frame/key, draw counter): bitwise deterministic, identical in
+  interpret mode and on hardware, no sequential state like the reference's
+  seed chain (shader.frag:11-36).
+- Depth exhaustion follows ``opts.exhaust_black`` (shader.frag:338 quirk),
+  and the near-zero Lambertian guard follows ``opts.near_zero_guard``
+  (shader.frag:222-225), like the jnp tracer.
+
+Debug AOVs (cursor marker/outline) are served by the jnp tracer;
+``render_image_pallas`` falls back automatically when ``opts.enable_debug``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.camera.camera import DerivedCamera
+from raytracer_tpu.render.options import MAX_T, MIN_T, TraceOptions
+from raytracer_tpu.scene.materials import DIFFUSE, GLASS, METAL
+from raytracer_tpu.scene.spheres import Scene
+
+LANES = 128
+DEFAULT_R_SUB = 8  # 8 rows x 128 lanes = 1024 rays per grid step
+
+TWO_PI = 6.2831853071795864
+INV_24 = 1.0 / 16777216.0  # 2^-24
+
+
+# --- counter-based in-kernel RNG --------------------------------------------
+
+
+def _lowbias32(x):
+    """lowbias32 integer hash (public constants by W. Hash prospector):
+    high-quality 32-bit mix with fixed shifts (vectorizes on the VPU)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _u01(pix: jnp.ndarray, ctr, salt: int):
+    """One uniform [0,1) draw per lane: hash(pixel ⊕ golden·(ctr+salt))."""
+    c = (jnp.uint32(ctr) + jnp.uint32(salt)) * jnp.uint32(0x9E3779B9)
+    h = _lowbias32(pix ^ c)
+    # Mosaic has no uint32→f32 cast; the top-24-bit value fits a positive
+    # int32, so bitcast then convert.
+    h24 = jax.lax.bitcast_convert_type(h >> 8, jnp.int32)
+    return h24.astype(jnp.float32) * INV_24
+
+
+# --- small vector helpers over SoA triples -----------------------------------
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+def _unit_sphere(pix, ctr, salt):
+    """random_in_unit_sphere, reference distribution (shader.frag:114-121)."""
+    hx = _u01(pix, ctr, salt) * 2.0 - 1.0
+    phi = _u01(pix, ctr, salt + 1) * TWO_PI
+    # cbrt isn't lowered by Mosaic: u^(1/3) = exp(ln(u)/3), u ∈ [0,1)
+    u = _u01(pix, ctr, salt + 2)
+    r = jnp.exp(jnp.log(jnp.maximum(u, 1e-12)) * (1.0 / 3.0))
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - hx * hx))
+    return r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * hx
+
+
+def _unit_vec(pix, ctr, salt):
+    x, y, z = _unit_sphere(pix, ctr, salt)
+    return _normalize3(x, y, z)
+
+
+# --- the kernel ---------------------------------------------------------------
+
+
+def _make_kernel(
+    s_pad: int,
+    spp: int,
+    max_depth: int,
+    r_sub: int,
+    width: int,
+    height: int,
+    opts: TraceOptions,
+):
+    tile = r_sub * LANES
+    inv_w = 1.0 / width
+    inv_h = 1.0 / height
+    # draws per bounce: 7 material + safety; per sample: 4 camera + bounces
+    draws_per_bounce = 8
+    draws_per_sample = 4 + max_depth * draws_per_bounce
+
+    def kernel(uni_ref, seed_ref, sph_ref, out_ref):
+        # seed_ref: (2,) i32 = [hash seed, global sample offset] — spp is
+        # split across launches to bound per-kernel runtime; the offset keeps
+        # every sample's RNG stream globally unique
+        # camera uniforms (SMEM (32,) f32) — the descendant of the
+        # reference's uniform ABI (src/webgl.rs:279-593)
+        ox0, oy0, oz0 = uni_ref[0], uni_ref[1], uni_ref[2]
+        llx, lly, llz = uni_ref[3], uni_ref[4], uni_ref[5]
+        hx, hy, hz = uni_ref[6], uni_ref[7], uni_ref[8]
+        vx, vy, vz = uni_ref[9], uni_ref[10], uni_ref[11]
+        ux, uy, uz = uni_ref[12], uni_ref[13], uni_ref[14]
+        vvx, vvy, vvz = uni_ref[15], uni_ref[16], uni_ref[17]
+        lens_radius = uni_ref[18]
+
+        t = pl.program_id(0)
+        base_seed = seed_ref[0]
+        sample_offset = seed_ref[1]
+
+        # sphere SoA columns, (S_pad, 1) each — sph_ref is a (S_pad, 12)
+        # VMEM table; spheres broadcast along lanes against per-ray rows
+        s_cx = sph_ref[:, 0:1]
+        s_cy = sph_ref[:, 1:2]
+        s_cz = sph_ref[:, 2:3]
+        s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
+        s_ivr = sph_ref[:, 4:5]  # 1/r, signed (negative-radius normal flip)
+        s_mat = sph_ref[:, 5:6]
+        s_ar = sph_ref[:, 6:7]
+        s_ag = sph_ref[:, 7:8]
+        s_ab = sph_ref[:, 8:9]
+        s_fz = sph_ref[:, 9:10]
+        s_rf = sph_ref[:, 10:11]
+        s_act = sph_ref[:, 11:12]
+        s_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (s_pad, LANES), 0
+        ).astype(jnp.float32)
+
+        # global flat pixel ids for this tile, (r_sub, LANES) uint32
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
+        gid = t * tile + row_ids * LANES + lane_ids
+        # fold the frame/key seed into the pixel hash key
+        pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
+
+        # st fragment centers (shader.frag:410): x = gid % W, y = gid // W
+        px = (gid % width).astype(jnp.float32)
+        py = (gid // width).astype(jnp.float32)
+
+        zero = jnp.zeros((r_sub, LANES), jnp.float32)
+
+        def sample_body(s, carry):
+            acc_r, acc_g, acc_b, segs = carry
+            ctr0 = (sample_offset + s) * draws_per_sample
+
+            # sub-pixel jitter (shader.frag:365-369): st + u01/(w,h)
+            st_s = (px + 0.5 + _u01(pix, ctr0, 0)) * inv_w
+            st_t = (py + 0.5 + _u01(pix, ctr0, 1)) * inv_h
+            # thin-lens offset (shader.frag:342-350)
+            ang = _u01(pix, ctr0, 2) * TWO_PI
+            rad = lens_radius * jnp.sqrt(_u01(pix, ctr0, 3))
+            rdx = rad * jnp.cos(ang)
+            rdy = rad * jnp.sin(ang)
+            offx = ux * rdx + vvx * rdy
+            offy = uy * rdx + vvy * rdy
+            offz = uz * rdx + vvz * rdy
+
+            ox = ox0 + offx
+            oy = oy0 + offy
+            oz = oz0 + offz
+            dx = llx + st_s * hx + st_t * vx - ox
+            dy = lly + st_s * hy + st_t * vy - oy
+            dz = llz + st_s * hz + st_t * vz - oz
+
+            # bounce loop state
+            cr = jnp.ones((r_sub, LANES), jnp.float32)
+            cg = jnp.ones((r_sub, LANES), jnp.float32)
+            cb = jnp.ones((r_sub, LANES), jnp.float32)
+            rr, rg, rb = zero, zero, zero
+            # alive mask carried as f32: Mosaic can't carry i1 vectors
+            # through while_loop (i8->i1 trunci is unsupported)
+            alive = jnp.ones((r_sub, LANES), jnp.float32)
+
+            def bounce_cond(state):
+                i = state[0]
+                alive = state[13]
+                return jnp.logical_and(i < max_depth, jnp.max(alive) > 0.0)
+
+            def bounce_body(state):
+                (i, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                 alive, segs) = state
+                ctr = ctr0 + 4 + i * draws_per_bounce
+
+                segs = segs + jnp.sum(alive)
+                alive_b = alive > 0.0
+
+                # --- closest-hit scan (shader.frag:145-196), vectorized ---
+                # Spheres live on SUBLANES, rays on LANES: each row of 128
+                # rays is tested against all S_pad spheres as one (S_pad,128)
+                # vector computation, and the closest hit is a sublane-axis
+                # min-reduction. No scalar loops — full VPU width always.
+                #
+                # Equivalence to the sequential shrinking-t_max scan: a
+                # sphere whose near root exceeds the eventual minimum loses
+                # the min anyway, and the near→far fallback only depends on
+                # t_min; so min-over-candidates == the sequential result
+                # (ties: lowest index wins here, last-tested wins in the
+                # reference — indistinguishable in practice).
+                a = _dot3(dx, dy, dz, dx, dy, dz)
+                inv_a = 1.0 / a
+                o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
+                o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
+
+                bt_rows = []
+                prow = [[] for _ in range(10)]
+                for row in range(r_sub):
+                    dxr = dx[row : row + 1]
+                    dyr = dy[row : row + 1]
+                    dzr = dz[row : row + 1]
+                    oxr = ox[row : row + 1]
+                    oyr = oy[row : row + 1]
+                    ozr = oz[row : row + 1]
+                    a_r = a[row : row + 1]
+                    inv_a_r = inv_a[row : row + 1]
+                    odd_r = o_dot_d[row : row + 1]
+                    ooo_r = o_dot_o[row : row + 1]
+
+                    c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
+                    c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
+                    half_b = odd_r - c_dot_d
+                    c_coef = ooo_r - 2.0 * c_dot_o + s_k1
+                    disc = half_b * half_b - a_r * c_coef
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    root_near = (-half_b - sq) * inv_a_r
+                    root_far = (-half_b + sq) * inv_a_r
+                    root = jnp.where(root_near >= MIN_T, root_near, root_far)
+                    valid = (
+                        (disc >= 0.0)
+                        & (root >= MIN_T)
+                        & (root <= MAX_T)
+                        & (s_act > 0.0)
+                    )
+                    cand = jnp.where(valid, root, jnp.float32(3e38))
+                    bt = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
+                    bj = jnp.min(
+                        jnp.where(cand == bt, s_iota, jnp.float32(1e9)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    one_hot = (s_iota == bj).astype(jnp.float32)
+                    bt_rows.append(bt)
+                    for k, col in enumerate(
+                        (s_cx, s_cy, s_cz, s_ivr, s_mat, s_ar, s_ag, s_ab,
+                         s_fz, s_rf)
+                    ):
+                        prow[k].append(
+                            jnp.sum(one_hot * col, axis=0, keepdims=True)
+                        )
+
+                best_t = jnp.concatenate(bt_rows, axis=0)
+                # no-hit lanes keep the 3e38 fill — detect via t, NOT via the
+                # index (an all-fill column ties at the fill value and would
+                # spuriously elect sphere 0)
+                hit = best_t < jnp.float32(1e37)
+                best_t = jnp.where(hit, best_t, MAX_T)
+                (scx, scy, scz, inv_r, mat, al_r, al_g, al_b, fuzz,
+                 refr) = (jnp.concatenate(rows, axis=0) for rows in prow)
+                del bj
+
+                # hit point + front-face-corrected normal (shader.frag:166-171)
+                hpx = ox + best_t * dx
+                hpy = oy + best_t * dy
+                hpz = oz + best_t * dz
+                nx = (hpx - scx) * inv_r
+                ny = (hpy - scy) * inv_r
+                nz = (hpz - scz) * inv_r
+                front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+                # --- scatter (shader.frag:210-286), branch-free ---
+                uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
+                usx, usy, usz = _unit_sphere(pix, ctr, 3)
+                glass_u = _u01(pix, ctr, 6)
+
+                # DIFFUSE
+                ddx = nx + uvx
+                ddy = ny + uvy
+                ddz = nz + uvz
+                if opts.near_zero_guard:
+                    nz_mask = (
+                        (jnp.abs(ddx) < 1e-8)
+                        & (jnp.abs(ddy) < 1e-8)
+                        & (jnp.abs(ddz) < 1e-8)
+                    )
+                    ddx = jnp.where(nz_mask, nx, ddx)
+                    ddy = jnp.where(nz_mask, ny, ddy)
+                    ddz = jnp.where(nz_mask, nz, ddz)
+
+                # METAL: reflect + fuzz
+                d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+                mdx = dx - 2.0 * d_dot_n * nx + fuzz * usx
+                mdy = dy - 2.0 * d_dot_n * ny + fuzz * usy
+                mdz = dz - 2.0 * d_dot_n * nz + fuzz * usz
+                metal_ok = _dot3(nx, ny, nz, mdx, mdy, mdz) > 0.0
+
+                # GLASS: Snell + TIR + Schlick roulette
+                ratio = jnp.where(front, 1.0 / refr, refr)
+                udx, udy, udz = _normalize3(dx, dy, dz)
+                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                cannot = ratio * sin_t > 1.0
+                r0 = (1.0 - ratio) / (1.0 + ratio)
+                r0 = r0 * r0
+                one_m = 1.0 - cos_t
+                one_m2 = one_m * one_m
+                schlick = r0 + (1.0 - r0) * one_m2 * one_m2 * one_m
+                reflects = jnp.logical_or(cannot, schlick > glass_u)
+                # refract (unit dir): perp = ratio*(ud + cos*n); par = -sqrt(k)*n
+                rpx = ratio * (udx + cos_t * nx)
+                rpy = ratio * (udy + cos_t * ny)
+                rpz = ratio * (udz + cos_t * nz)
+                k = jnp.maximum(0.0, 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
+                sk = jnp.sqrt(k)
+                refx = rpx - sk * nx
+                refy = rpy - sk * ny
+                refz = rpz - sk * nz
+                # reflect of unit dir
+                ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+                grx = udx - 2.0 * ud_dot_n * nx
+                gry = udy - 2.0 * ud_dot_n * ny
+                grz = udz - 2.0 * ud_dot_n * nz
+                gdx = jnp.where(reflects, grx, refx)
+                gdy = jnp.where(reflects, gry, refy)
+                gdz = jnp.where(reflects, grz, refz)
+
+                is_diffuse = mat < 0.5
+                is_metal = jnp.logical_and(mat >= 0.5, mat < 1.5)
+                is_glass = jnp.logical_and(mat >= 1.5, mat < 2.5)
+                ndx = jnp.where(is_diffuse, ddx, jnp.where(is_metal, mdx, gdx))
+                ndy = jnp.where(is_diffuse, ddy, jnp.where(is_metal, mdy, gdy))
+                ndz = jnp.where(is_diffuse, ddz, jnp.where(is_metal, mdz, gdz))
+                # pure boolean algebra — select_n over i1 vectors doesn't
+                # lower in Mosaic (i8->i1 trunci)
+                did_scatter = is_diffuse | (is_metal & metal_ok) | is_glass
+
+                # --- sky on miss (shader.frag:289-294, 331-335) ---
+                miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
+                sky_t = 0.5 * (udy + 1.0)
+                sky_r = 1.0 - 0.5 * sky_t
+                sky_g = 1.0 - 0.3 * sky_t
+                sky_b = jnp.ones_like(sky_t)
+                rr = jnp.where(miss, cr * sky_r, rr)
+                rg = jnp.where(miss, cg * sky_g, rg)
+                rb = jnp.where(miss, cb * sky_b, rb)
+
+                scat = alive_b & hit & did_scatter
+                cr = jnp.where(scat, cr * al_r, cr)
+                cg = jnp.where(scat, cg * al_g, cg)
+                cb = jnp.where(scat, cb * al_b, cb)
+                ox = jnp.where(scat, hpx, ox)
+                oy = jnp.where(scat, hpy, oy)
+                oz = jnp.where(scat, hpz, oz)
+                dx = jnp.where(scat, ndx, dx)
+                dy = jnp.where(scat, ndy, dy)
+                dz = jnp.where(scat, ndz, dz)
+                return (i + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                        rr, rg, rb, scat.astype(jnp.float32), segs)
+
+            (_, _, _, _, _, _, _, cr, cg, cb, rr, rg, rb, alive,
+             segs) = jax.lax.while_loop(
+                bounce_cond,
+                bounce_body,
+                (jnp.int32(0), ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                 rr, rg, rb, alive, segs),
+            )
+            # depth exhausted (shader.frag:338 vs book)
+            if not opts.exhaust_black:
+                alive_b = alive > 0.0
+                rr = jnp.where(alive_b, cr, rr)
+                rg = jnp.where(alive_b, cg, rg)
+                rb = jnp.where(alive_b, cb, rb)
+            return acc_r + rr, acc_g + rg, acc_b + rb, segs
+
+        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
+            0, spp, sample_body, (zero, zero, zero, jnp.float32(0.0))
+        )
+        # emit LINEAR SUMS; scaling + gamma happen in the host-side finalize
+        # so spp chunks can be accumulated across launches
+        out_ref[0, 0] = acc_r
+        out_ref[0, 1] = acc_g
+        out_ref[0, 2] = acc_b
+        # channel 3 carries this tile's segment count (scalar, broadcast) —
+        # SMEM (1,1) output blocks aren't supported by the TPU lowering
+        out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
+
+    return kernel
+
+
+def _pad_spheres(n: int) -> int:
+    """Sphere rows pad to a sublane multiple (min f32 tile is (8, 128))."""
+    return max(8, -(-n // 8) * 8)
+
+
+def _sphere_table(scene: Scene) -> jnp.ndarray:
+    """(S_pad, 12) f32 column table with precomputed per-sphere constants.
+    Padding rows are inactive (and keep 1/r finite)."""
+    c = scene.center
+    r = scene.radius
+    k1 = jnp.sum(c * c, axis=-1) - r * r
+    inv_r = 1.0 / r  # signed: reproduces negative-radius normal flip
+    table = jnp.stack(
+        [
+            c[:, 0],
+            c[:, 1],
+            c[:, 2],
+            k1,
+            inv_r,
+            scene.material_type.astype(jnp.float32),
+            scene.albedo[:, 0],
+            scene.albedo[:, 1],
+            scene.albedo[:, 2],
+            scene.fuzz,
+            scene.refraction_index,
+            scene.active,
+        ],
+        axis=-1,
+    )
+    s_pad = _pad_spheres(scene.count)
+    if s_pad != scene.count:
+        pad = jnp.zeros((s_pad - scene.count, 12), jnp.float32)
+        pad = pad.at[:, 4].set(1.0)  # inv_r
+        table = jnp.concatenate([table, pad], axis=0)
+    return table
+
+
+def _camera_uniforms(dcam: DerivedCamera) -> jnp.ndarray:
+    u = jnp.concatenate(
+        [
+            dcam.origin,
+            dcam.lower_left_corner,
+            dcam.horizontal,
+            dcam.vertical,
+            dcam.u,
+            dcam.v,
+            dcam.lens_radius[None],
+        ]
+    ).astype(jnp.float32)
+    return jnp.pad(u, (0, 32 - u.shape[0]))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+    ),
+)
+def _render_chunk(
+    scene: Scene,
+    dcam: DerivedCamera,
+    seed,
+    sample_offset,
+    width: int,
+    height: int,
+    chunk_spp: int,
+    opts: TraceOptions,
+    r_sub: int,
+    interpret: bool,
+):
+    """One kernel launch tracing chunk_spp samples; returns (nt,4,r,l)
+    linear color sums + per-tile segment counts in channel 3."""
+    p = width * height
+    tile = r_sub * LANES
+    nt = pl.cdiv(p, tile)
+    kernel = _make_kernel(
+        _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
+        height, opts,
+    )
+    seeds = jnp.stack([seed, jnp.asarray(sample_offset, jnp.int32)])
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, sample_offset]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
+        ],
+        out_specs=pl.BlockSpec((1, 4, r_sub, LANES), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, 4, r_sub, LANES), jnp.float32),
+        interpret=interpret,
+    )(_camera_uniforms(dcam), seeds, _sphere_table(scene))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "gamma")
+)
+def _finalize(acc, width: int, height: int, spp: int, gamma: bool):
+    p = width * height
+    image = (
+        acc[:, :3]
+        .transpose(0, 2, 3, 1)
+        .reshape(-1, 3)[:p]
+        .reshape(height, width, 3)
+    ) * (1.0 / spp)
+    if gamma:
+        image = jnp.sqrt(jnp.maximum(image, 0.0))
+    return image, jnp.sum(acc[:, 3, 0, 0])
+
+
+def _pick_chunk_spp(spp: int, p: int, s_count: int, max_depth: int) -> int:
+    """Bound one launch's work so long renders never trip the device
+    watchdog: target ~2e10 ray-sphere tests per launch."""
+    per_sample = p * min(max_depth, 6) * max(s_count, 1)
+    return max(1, min(spp, int(2e10 // max(per_sample, 1))))
+
+
+def _render_pallas(
+    scene: Scene,
+    dcam: DerivedCamera,
+    key,
+    width: int,
+    height: int,
+    spp: int,
+    opts: TraceOptions,
+    return_stats: bool,
+    r_sub: int,
+    interpret: bool,
+):
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
+
+    chunk = _pick_chunk_spp(spp, width * height, scene.count, opts.max_depth)
+    acc = None
+    offset = 0
+    while offset < spp:
+        cs = min(chunk, spp - offset)
+        out = _render_chunk(
+            scene, dcam, seed, offset, width, height, cs, opts, r_sub,
+            interpret,
+        )
+        acc = out if acc is None else acc + out
+        offset += cs
+    image, segments = _finalize(acc, width, height, spp, opts.gamma)
+    if return_stats:
+        return image, {"segments": segments}
+    return image
+
+
+def render_image_pallas(
+    scene: Scene,
+    dcam: DerivedCamera,
+    width: int,
+    height: int,
+    spp: int,
+    key,
+    opts: TraceOptions,
+    debug=None,
+    return_stats: bool = False,
+    r_sub: int = DEFAULT_R_SUB,
+):
+    """Pallas megakernel render. Falls back to the jnp tracer for debug-AOV
+    renders (cursor marker / selection outline need picking state)."""
+    if opts.enable_debug:
+        from raytracer_tpu.render.tracer import render_image_jnp
+
+        return render_image_jnp(
+            scene, dcam, width, height, spp, key, opts, debug,
+            return_stats=return_stats,
+        )
+    interpret = jax.default_backend() != "tpu"
+    # small tiles for small images
+    while r_sub > 8 and width * height < r_sub * LANES:
+        r_sub //= 2
+    return _render_pallas(
+        scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
+        interpret,
+    )

@@ -1,0 +1,65 @@
+"""Distribution tests for the sampling primitives (reference distributions:
+static/shader.frag:114-133) and determinism of the counter-based RNG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.core import sampling
+
+N = 20000
+
+
+def test_unit_sphere_inside_and_uniform(key):
+    pts = np.asarray(sampling.random_in_unit_sphere(key, (N,)))
+    r = np.linalg.norm(pts, axis=-1)
+    assert (r <= 1.0 + 1e-5).all()
+    # radius^3 should be uniform for a volume-uniform distribution
+    u = r**3
+    hist, _ = np.histogram(u, bins=10, range=(0, 1))
+    assert hist.min() > N / 10 * 0.85
+    # mean should be ~0 per component
+    assert np.abs(pts.mean(axis=0)).max() < 0.02
+
+
+def test_unit_vector_on_sphere(key):
+    v = np.asarray(sampling.random_unit_vector(key, (N,)))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+    # isotropy: each component mean ~ 0, cos distribution uniform
+    assert np.abs(v.mean(axis=0)).max() < 0.02
+    hist, _ = np.histogram(v[:, 2], bins=10, range=(-1, 1))
+    assert hist.min() > N / 10 * 0.85
+
+
+def test_unit_disk_inside_and_uniform(key):
+    d = np.asarray(sampling.random_in_unit_disk(key, (N,)))
+    assert d.shape == (N, 2)
+    r2 = (d**2).sum(axis=-1)
+    assert (r2 <= 1.0 + 1e-5).all()
+    # r^2 uniform for area-uniform sampling
+    hist, _ = np.histogram(r2, bins=10, range=(0, 1))
+    assert hist.min() > N / 10 * 0.85
+
+
+def test_determinism_same_key(key):
+    a = sampling.random_in_unit_sphere(key, (64,))
+    b = sampling.random_in_unit_sphere(key, (64,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fold_distinct_streams(key):
+    a = np.asarray(sampling.random_in_unit_sphere(sampling.fold(key, 0, 1), (8,)))
+    b = np.asarray(sampling.random_in_unit_sphere(sampling.fold(key, 0, 2), (8,)))
+    assert not np.allclose(a, b)
+
+
+def test_pixel_jitter_range(key):
+    j = np.asarray(sampling.pixel_jitter(key, (1000,)))
+    assert j.shape == (1000, 2)
+    assert (j >= 0).all() and (j < 1).all()
+
+
+def test_bounce_uniforms_shapes(key):
+    uv, us, g = sampling.sphere_disk_glass_uniforms(key, (17,))
+    assert uv.shape == (17, 3) and us.shape == (17, 3) and g.shape == (17,)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(uv), axis=-1), 1.0, atol=1e-5)
