@@ -62,6 +62,15 @@ class Engine:
         exhaust_black: bool = False,
     ):
         self.scene = scene
+        # the device-side scene: pre-clustered once for the pallas backend on
+        # big scenes (host-side build; picking keeps the original ordering)
+        self.render_scene = scene
+        if backend == "pallas":
+            from raytracer_tpu.render.pallas_kernel import CLUSTER_THRESHOLD
+            from raytracer_tpu.scene.accel import build_clustered
+
+            if scene.count >= CLUSTER_THRESHOLD:
+                self.render_scene = build_clustered(scene)
         self.camera = camera
         self.app = AppState(
             width=width,
@@ -199,7 +208,8 @@ class Engine:
 
         step = self._step_fn(self.app.effective_spp())
         self.render_state, aux = step(
-            self.render_state, self.scene, self.camera, self._debug_params()
+            self.render_state, self.render_scene, self.camera,
+            self._debug_params(),
         )
         self.total_segments += float(aux["segments"])
 

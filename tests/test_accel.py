@@ -1,0 +1,72 @@
+"""Cluster acceleration structure tests: bounds correctness, permutation
+integrity, and render equivalence (clustered == flat, bitwise)."""
+
+import jax
+import numpy as np
+
+from raytracer_tpu.camera.camera import derive_camera
+from raytracer_tpu.render import pallas_kernel as pk
+from raytracer_tpu.render.options import TraceOptions
+from raytracer_tpu.scene import presets
+from raytracer_tpu.scene.accel import build_clustered
+
+
+def test_clusters_cover_all_spheres():
+    scene = presets.cover_scene()
+    cl = build_clustered(scene, group=16)
+    k = cl.bounds.shape[0]
+    assert cl.scene.count == k * 16
+    # every active sphere appears exactly once in the permutation
+    uuid = np.asarray(cl.uuid)
+    live = uuid[uuid >= 0]
+    assert sorted(live.tolist()) == list(range(scene.count))
+    # active count preserved
+    assert int(np.asarray(cl.scene.active).sum()) == scene.count
+
+
+def test_bounds_contain_members():
+    scene = presets.cover_scene()
+    cl = build_clustered(scene, group=16)
+    c = np.asarray(cl.scene.center)
+    r = np.abs(np.asarray(cl.scene.radius))
+    act = np.asarray(cl.scene.active) > 0
+    b = np.asarray(cl.bounds)
+    for ci in range(b.shape[0]):
+        if b[ci, 3] < 0:
+            continue
+        sl = slice(ci * 16, (ci + 1) * 16)
+        for j in range(sl.start, sl.stop):
+            if not act[j]:
+                continue
+            d = np.linalg.norm(c[j] - b[ci, :3]) + r[j]
+            assert d <= b[ci, 3] * 1.001, (ci, j, d, b[ci, 3])
+
+
+def test_small_scene_single_cluster():
+    scene = presets.demo_scene()
+    cl = build_clustered(scene, group=16)
+    assert cl.bounds.shape[0] == 1
+    # the demo scene's moon (radius 100) inflates the bound — still valid
+    assert float(cl.bounds[0, 3]) > 100.0
+
+
+def test_clustered_render_bitwise_equals_flat():
+    scene, cam, *_ = presets.get_config("cover", 96, 64)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    opts = TraceOptions(max_depth=6)
+    flat = pk._render_pallas(scene, dcam, key, 96, 64, 2, opts, False, 8, True)
+    clu = pk._render_pallas(
+        build_clustered(scene), dcam, key, 96, 64, 2, opts, False, 8, True
+    )
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(clu))
+
+
+def test_auto_clustering_in_entrypoint():
+    """render_image_pallas auto-clusters big concrete scenes."""
+    scene, cam, *_ = presets.get_config("cover", 64, 32)
+    dcam = derive_camera(cam)
+    img = pk.render_image_pallas(
+        scene, dcam, 64, 32, 1, jax.random.PRNGKey(0), TraceOptions(max_depth=4)
+    )
+    assert np.isfinite(np.asarray(img)).all()
