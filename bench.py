@@ -44,11 +44,15 @@ def main() -> int:
         opts = TraceOptions(max_depth=depth, backend=backend)
         key = jax.random.PRNGKey(0)
 
+        import numpy as np
+
         def run(k):
             img, stats = render_image(
                 scene, cam, w, h, spp, k, opts, return_stats=True
             )
-            img.block_until_ready()
+            # force a device→host transfer: block_until_ready() can return
+            # early through the TPU tunnel and under-report wall time
+            np.asarray(img)
             return img, float(stats["segments"])
 
         # warmup / compile
