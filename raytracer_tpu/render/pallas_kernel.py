@@ -128,10 +128,17 @@ def _make_kernel(
     draws_per_bounce = 8
     draws_per_sample = 4 + max_depth * draws_per_bounce
 
-    def kernel(uni_ref, seed_ref, sph_ref, out_ref):
+    dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
+
+    def kernel(uni_ref, seed_ref, sph_ref, prm_ref, out_ref, gat_ref):
         # seed_ref: (2,) i32 = [hash seed, global sample offset] — spp is
         # split across launches to bound per-kernel runtime; the offset keeps
         # every sample's RNG stream globally unique
+        # prm_ref: (16, S_pad) transposed parameter table for the MXU gather
+        # gat_ref: (16, r_sub, LANES) VMEM scratch — per-row gather results
+        # land here so the per-param planes read back as canonical
+        # (r_sub, LANES) tiles (ablation: the VPU masked-reduce gather was
+        # ~45% of kernel time; one one-hot matmul per row replaces it)
         # camera uniforms (SMEM (32,) f32) — the descendant of the
         # reference's uniform ABI (src/webgl.rs:279-593)
         ox0, oy0, oz0 = uni_ref[0], uni_ref[1], uni_ref[2]
@@ -146,23 +153,13 @@ def _make_kernel(
         base_seed = seed_ref[0]
         sample_offset = seed_ref[1]
 
-        # sphere SoA columns, (S_pad, 1) each — sph_ref is a (S_pad, 12)
-        # VMEM table; spheres broadcast along lanes against per-ray rows
+        # sphere SoA columns, (S_pad, 1) — sph_ref is a (S_pad, 12) VMEM
+        # table; spheres broadcast along lanes against per-ray rows
         s_cx = sph_ref[:, 0:1]
         s_cy = sph_ref[:, 1:2]
         s_cz = sph_ref[:, 2:3]
         s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
-        s_ivr = sph_ref[:, 4:5]  # 1/r, signed (negative-radius normal flip)
-        s_mat = sph_ref[:, 5:6]
-        s_ar = sph_ref[:, 6:7]
-        s_ag = sph_ref[:, 7:8]
-        s_ab = sph_ref[:, 8:9]
-        s_fz = sph_ref[:, 9:10]
-        s_rf = sph_ref[:, 10:11]
         s_act = sph_ref[:, 11:12]
-        s_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (s_pad, LANES), 0
-        ).astype(jnp.float32)
 
         # global flat pixel ids for this tile, (r_sub, LANES) uint32
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
@@ -239,8 +236,12 @@ def _make_kernel(
                 o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
                 o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
 
+                # scan in q = t·|d|² space: a > 0 is constant per ray, so
+                # argmin over q equals argmin over t and the two per-sphere
+                # divisions (root·inv_a) collapse into one per-row multiply
+                min_t_a = MIN_T * a
+                max_t_a = MAX_T * a
                 bt_rows = []
-                prow = [[] for _ in range(10)]
                 for row in range(r_sub):
                     dxr = dx[row : row + 1]
                     dyr = dy[row : row + 1]
@@ -252,48 +253,57 @@ def _make_kernel(
                     inv_a_r = inv_a[row : row + 1]
                     odd_r = o_dot_d[row : row + 1]
                     ooo_r = o_dot_o[row : row + 1]
+                    min_q = min_t_a[row : row + 1]
+                    max_q = max_t_a[row : row + 1]
 
                     c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
                     c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
                     half_b = odd_r - c_dot_d
                     c_coef = ooo_r - 2.0 * c_dot_o + s_k1
                     disc = half_b * half_b - a_r * c_coef
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    root_near = (-half_b - sq) * inv_a_r
-                    root_far = (-half_b + sq) * inv_a_r
-                    root = jnp.where(root_near >= MIN_T, root_near, root_far)
-                    valid = (
-                        (disc >= 0.0)
-                        & (root >= MIN_T)
-                        & (root <= MAX_T)
-                        & (s_act > 0.0)
+                    # disc < 0 ⇒ poison sq to -3e38 so both roots fall below
+                    # min_q (saves a separate disc>=0 term). Inactive slots
+                    # are encoded unhittable in the table (center=0, k1=+1 ⇒
+                    # disc < 0 by Cauchy-Schwarz), so no active test either.
+                    sq = jnp.where(
+                        disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
                     )
-                    cand = jnp.where(valid, root, jnp.float32(3e38))
-                    bt = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
-                    bj = jnp.min(
-                        jnp.where(cand == bt, s_iota, jnp.float32(1e9)),
-                        axis=0,
-                        keepdims=True,
+                    q_near = -half_b - sq
+                    q_far = -half_b + sq
+                    q = jnp.where(q_near >= min_q, q_near, q_far)
+                    valid = (q >= min_q) & (q <= max_q)
+                    cand = jnp.where(valid, q, jnp.float32(3e38))
+                    bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
+                    bt_rows.append(bq * inv_a_r)
+                    # one-hot winner mask (ties: both fire — only on exactly
+                    # coincident surfaces; masked to zero when no hit).
+                    # HIGHEST precision: exact f32 (Mosaic supports only
+                    # DEFAULT — lossy bf16 truncation of the params — and
+                    # HIGHEST)
+                    oh = ((cand == bq) & (cand < 1e37)).astype(jnp.float32)
+                    gat_ref[:, row, :] = jax.lax.dot_general(
+                        prm_ref[:, :], oh, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
-                    one_hot = (s_iota == bj).astype(jnp.float32)
-                    bt_rows.append(bt)
-                    for k, col in enumerate(
-                        (s_cx, s_cy, s_cz, s_ivr, s_mat, s_ar, s_ag, s_ab,
-                         s_fz, s_rf)
-                    ):
-                        prow[k].append(
-                            jnp.sum(one_hot * col, axis=0, keepdims=True)
-                        )
 
                 best_t = jnp.concatenate(bt_rows, axis=0)
-                # no-hit lanes keep the 3e38 fill — detect via t, NOT via the
-                # index (an all-fill column ties at the fill value and would
-                # spuriously elect sphere 0)
-                hit = best_t < jnp.float32(1e37)
+                # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
+                # the viewport basis, fill/|d|² stays astronomically above
+                # MAX_T; detect via t, NOT via the one-hot (an all-fill
+                # column ties at the fill value)
+                hit = best_t < jnp.float32(1e20)
                 best_t = jnp.where(hit, best_t, MAX_T)
-                (scx, scy, scz, inv_r, mat, al_r, al_g, al_b, fuzz,
-                 refr) = (jnp.concatenate(rows, axis=0) for rows in prow)
-                del bj
+                scx = gat_ref[0]
+                scy = gat_ref[1]
+                scz = gat_ref[2]
+                inv_r = gat_ref[3]
+                mat = gat_ref[4]
+                al_r = gat_ref[5]
+                al_g = gat_ref[6]
+                al_b = gat_ref[7]
+                fuzz = gat_ref[8]
+                refr = gat_ref[9]
 
                 # hit point + front-face-corrected normal (shader.frag:166-171)
                 hpx = ox + best_t * dx
@@ -1102,10 +1112,15 @@ def _pad_spheres(n: int) -> int:
 
 def _sphere_table(scene: Scene) -> jnp.ndarray:
     """(S_pad, 12) f32 column table with precomputed per-sphere constants.
-    Padding rows are inactive (and keep 1/r finite)."""
-    c = scene.center
+
+    Inactive slots (and padding) are encoded as GEOMETRICALLY unhittable:
+    center=(0,0,0) with k1 = |c|^2 - r^2 = +1 (i.e. r^2 = -1) makes the
+    discriminant (o·d)^2 - |d|^2(|o|^2 + 1) < 0 for every ray by
+    Cauchy-Schwarz — the scan needs no per-sphere active test."""
+    act = scene.active > 0.0
+    c = jnp.where(act[:, None], scene.center, 0.0)
     r = scene.radius
-    k1 = jnp.sum(c * c, axis=-1) - r * r
+    k1 = jnp.where(act, jnp.sum(c * c, axis=-1) - r * r, 1.0)
     inv_r = 1.0 / r  # signed: reproduces negative-radius normal flip
     table = jnp.stack(
         [
@@ -1127,7 +1142,8 @@ def _sphere_table(scene: Scene) -> jnp.ndarray:
     s_pad = _pad_spheres(scene.count)
     if s_pad != scene.count:
         pad = jnp.zeros((s_pad - scene.count, 12), jnp.float32)
-        pad = pad.at[:, 4].set(1.0)  # inv_r
+        pad = pad.at[:, 3].set(1.0)  # k1: unhittable
+        pad = pad.at[:, 4].set(1.0)  # inv_r finite
         table = jnp.concatenate([table, pad], axis=0)
     return table
 
@@ -1182,11 +1198,13 @@ def _render_chunk(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, sample_offset]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
         ],
         out_specs=pl.BlockSpec((1, 4, r_sub, LANES), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nt, 4, r_sub, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, r_sub, LANES), jnp.float32)],
         interpret=interpret,
-    )(_camera_uniforms(dcam), seeds, _sphere_table(scene))
+    )(_camera_uniforms(dcam), seeds, _sphere_table(scene), _params_table_t(scene))
 
 
 @functools.partial(
