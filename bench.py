@@ -23,10 +23,59 @@ import time
 BASELINE_MRAYS = 500.0
 
 
+def _bench_one(config, backend, repeats, spp_override=None):
+    import time
+
+    import jax
+    import numpy as np
+
+    from raytracer_tpu.render.api import render_image
+    from raytracer_tpu.render.options import TraceOptions
+    from raytracer_tpu.scene import presets
+
+    scene, cam, w, h, spp, depth = presets.get_config(config)
+    spp = spp_override or spp
+    opts = TraceOptions(max_depth=depth, backend=backend)
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        img, stats = render_image(scene, cam, w, h, spp, k, opts, return_stats=True)
+        np.asarray(img)
+        return img, float(stats["segments"])
+
+    run(key)  # warmup/compile
+    best, segments = None, 0.0
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        _, segments = run(jax.random.fold_in(key, i))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return w, h, spp, depth, best, segments
+
+
 def main() -> int:
     config = os.environ.get("BENCH_CONFIG", "cover")
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    if config == "all":
+        # full BASELINE matrix: per-config lines to stderr, headline last
+        import jax
+
+        from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()
+        for name in ("two_sphere", "three_sphere", "dof", "cover"):
+            try:
+                w, h, spp, depth, wall, segs = _bench_one(name, backend, repeats)
+                print(
+                    f"{name}: {w}x{h} spp{spp} d{depth} wall={wall:.3f}s "
+                    f"-> {segs/wall/1e6:.1f} Mrays/s",
+                    file=sys.stderr,
+                )
+            except Exception as e:
+                print(f"{name}: FAIL {e}", file=sys.stderr)
+        config = "cover"  # fall through: headline JSON line
 
     try:
         import jax

@@ -42,7 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--progressive-frames",
         type=int,
         default=0,
-        help="render N 1-spp frames progressively instead of one batch render",
+        help="accumulate N progressive frames (of --spp samples each) instead of one batch render",
+    )
+    p.add_argument(
+        "--aov",
+        default=None,
+        choices=["normal", "depth", "uuid", "front"],
+        help="render a debug AOV instead of the beauty pass",
     )
     p.add_argument(
         "--book-physics",
@@ -70,6 +76,18 @@ def main(argv=None) -> int:
         near_zero_guard=args.book_physics,
     )
     key = jax.random.PRNGKey(args.seed)
+
+    if args.aov:
+        from raytracer_tpu.render.debug import render_aov
+
+        t0 = time.perf_counter()
+        image = render_aov(scene, cam, w, h, args.aov, key)
+        elapsed = time.perf_counter() - t0
+        from raytracer_tpu.app import io
+
+        io.save_png(args.out, image)
+        print(f"{args.config} AOV={args.aov}: {w}x{h} -> {args.out} ({elapsed:.3f}s)")
+        return 0
 
     t0 = time.perf_counter()
     if args.progressive_frames > 0:

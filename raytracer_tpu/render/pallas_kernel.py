@@ -1326,9 +1326,11 @@ def _finalize(acc, width: int, height: int, spp: int, gamma: bool):
 
 def _pick_chunk_spp(spp: int, p: int, s_count: int, max_depth: int) -> int:
     """Bound one launch's work so long renders never trip the device
-    watchdog: target ~2e10 ray-sphere tests per launch."""
+    watchdog (~multi-second kernels fault): target ~6e10 ray-sphere tests
+    per launch ≈ 2-3 s of kernel time, amortizing the ~50-90 ms per-launch
+    dispatch latency through the device tunnel."""
     per_sample = p * min(max_depth, 6) * max(s_count, 1)
-    return max(1, min(spp, int(2e10 // max(per_sample, 1))))
+    return max(1, min(spp, int(6e10 // max(per_sample, 1))))
 
 
 #: scenes at or above this sphere count auto-build the cluster structure
