@@ -16,7 +16,6 @@ display), i.e. the rAF loop of src/lib.rs:61-107 driven by a terminal clock.
 
 from __future__ import annotations
 
-import os
 import select
 import sys
 import time

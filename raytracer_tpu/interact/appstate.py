@@ -23,7 +23,7 @@ import numpy as np
 
 from raytracer_tpu.camera.camera import CameraConfig
 from raytracer_tpu.camera.controller import KeydownMap
-from raytracer_tpu.scene.spheres import NO_SELECTED_OBJECT_ID, Scene
+from raytracer_tpu.scene.spheres import NO_SELECTED_OBJECT_ID
 
 # src/dom.rs:13
 MAX_CANVAS_SIZE = 1280

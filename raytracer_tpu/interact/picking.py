@@ -15,7 +15,6 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import flax.struct
 import jax

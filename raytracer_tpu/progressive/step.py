@@ -11,7 +11,6 @@ traced once and the display reads the accumulation buffer.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -37,17 +37,14 @@ Debug AOVs (cursor marker/outline) are served by the jnp tracer;
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.camera.camera import DerivedCamera
 from raytracer_tpu.render.options import MAX_T, MIN_T, TraceOptions
-from raytracer_tpu.scene.materials import DIFFUSE, GLASS, METAL
 from raytracer_tpu.scene.spheres import Scene
 
 LANES = 128
