@@ -117,8 +117,8 @@ def _make_kernel(
     width: int,
     height: int,
     opts: TraceOptions,
+    tiles_x: int,
 ):
-    tile = r_sub * LANES
     inv_w = 1.0 / width
     inv_h = 1.0 / height
     # draws per bounce: 7 material + safety; per sample: 4 camera + bounces
@@ -158,16 +158,21 @@ def _make_kernel(
         s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
         s_act = sph_ref[:, 11:12]
 
-        # global flat pixel ids for this tile, (r_sub, LANES) uint32
+        # RECTANGULAR tiles: each grid step owns an (r_sub x LANES)-pixel
+        # block, not a full-width strip — spatially compact tiles let the
+        # bounce while_loop exit early on tiles whose rays all terminate
+        # (deep glass paths stall only the tiles that contain glass)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
-        gid = t * tile + row_ids * LANES + lane_ids
+        ipx = (t % tiles_x) * LANES + lane_ids
+        ipy = (t // tiles_x) * r_sub + row_ids
+        gid = ipy * (tiles_x * LANES) + ipx
         # fold the frame/key seed into the pixel hash key
         pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
 
-        # st fragment centers (shader.frag:410): x = gid % W, y = gid // W
-        px = (gid % width).astype(jnp.float32)
-        py = (gid // width).astype(jnp.float32)
+        # st fragment centers (shader.frag:410)
+        px = ipx.astype(jnp.float32)
+        py = ipy.astype(jnp.float32)
 
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
 
@@ -1179,13 +1184,14 @@ def _render_chunk(
     interpret: bool,
 ):
     """One kernel launch tracing chunk_spp samples; returns (nt,4,r,l)
-    linear color sums + per-tile segment counts in channel 3."""
-    p = width * height
-    tile = r_sub * LANES
-    nt = pl.cdiv(p, tile)
+    linear color sums + per-tile segment counts in channel 3. Tiles are
+    rectangular (r_sub x LANES)-pixel blocks over a padded 2-D grid."""
+    tiles_x = pl.cdiv(width, LANES)
+    tiles_y = pl.cdiv(height, r_sub)
+    nt = tiles_x * tiles_y
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
-        height, opts,
+        height, opts, tiles_x,
     )
     seeds = jnp.stack([seed, jnp.asarray(sample_offset, jnp.int32)])
     return pl.pallas_call(
@@ -1306,15 +1312,18 @@ def _render_chunk_clustered(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "gamma")
+    jax.jit, static_argnames=("width", "height", "spp", "gamma", "r_sub")
 )
-def _finalize(acc, width: int, height: int, spp: int, gamma: bool):
-    p = width * height
+def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
+              r_sub: int):
+    """(nt, 4, r_sub, LANES) rectangular-tile sums → (H, W, 3) image."""
+    tiles_x = pl.cdiv(width, LANES)
+    tiles_y = pl.cdiv(height, r_sub)
     image = (
         acc[:, :3]
-        .transpose(0, 2, 3, 1)
-        .reshape(-1, 3)[:p]
-        .reshape(height, width, 3)
+        .reshape(tiles_y, tiles_x, 3, r_sub, LANES)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(tiles_y * r_sub, tiles_x * LANES, 3)[:height, :width]
     ) * (1.0 / spp)
     if gamma:
         image = jnp.sqrt(jnp.maximum(image, 0.0))
@@ -1359,7 +1368,14 @@ def _render_pallas(
     offset = 0
     while offset < spp:
         cs = min(chunk, spp - offset)
-        if clustered and variant == "clustered":
+        if clustered and variant == "culled":
+            from raytracer_tpu.render.culled_kernel import render_chunk_culled
+
+            out = render_chunk_culled(
+                scene, dcam, seed, offset, width, height, cs, opts, r_sub,
+                interpret, scene.group,
+            )
+        elif clustered and variant == "clustered":
             out = _render_chunk_clustered(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
                 interpret, scene.group,
@@ -1373,7 +1389,7 @@ def _render_pallas(
             )
         acc = out if acc is None else acc + out
         offset += cs
-    image, segments = _finalize(acc, width, height, spp, opts.gamma)
+    image, segments = _finalize(acc, width, height, spp, opts.gamma, r_sub)
     if return_stats:
         return image, {"segments": segments}
     return image
@@ -1416,12 +1432,16 @@ def render_image_pallas(
             return_stats=return_stats,
         )
     if (
-        variant == "clustered"
+        variant in ("clustered", "culled")
         and not isinstance(scene, accel.ClusteredScene)
         and scene.count >= CLUSTER_THRESHOLD
         and _is_concrete(scene)
     ):
-        scene = accel.build_clustered(scene)
+        from raytracer_tpu.render.culled_kernel import CULL_GROUP
+
+        scene = accel.build_clustered(
+            scene, group=CULL_GROUP if variant == "culled" else 16
+        )
     interpret = jax.default_backend() != "tpu"
     # small tiles for small images
     while r_sub > 8 and width * height < r_sub * LANES:

@@ -70,3 +70,17 @@ def test_auto_clustering_in_entrypoint():
         scene, dcam, 64, 32, 1, jax.random.PRNGKey(0), TraceOptions(max_depth=4)
     )
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_culled_variant_bitwise_equals_flat():
+    """The static-unrolled pl.when culled kernel must match the flat kernel
+    exactly (regression for the 3e38-sentinel cancellation bug)."""
+    scene, cam, *_ = presets.get_config("cover", 128, 64)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    opts = TraceOptions(max_depth=6)
+    flat = pk._render_pallas(scene, dcam, key, 128, 64, 2, opts, False, 8, True, "flat")
+    culled = pk.render_image_pallas(
+        scene, dcam, 128, 64, 2, key, opts, variant="culled"
+    )
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(culled))
