@@ -99,6 +99,9 @@ def _make_kernel_culled(
         pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
         px = ipx.astype(jnp.float32)
         py = ipy.astype(jnp.float32)
+        # padding lanes (the 2-D tile grid rounds W/H up): never alive, so
+        # they cost nothing, count nothing, and their output is cropped
+        in_image = ((ipx < width) & (ipy < height)).astype(jnp.float32)
 
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
 
@@ -123,7 +126,7 @@ def _make_kernel_culled(
             cg = jnp.ones((r_sub, LANES), jnp.float32)
             cb = jnp.ones((r_sub, LANES), jnp.float32)
             rr, rg, rb = zero, zero, zero
-            alive = jnp.ones((r_sub, LANES), jnp.float32)
+            alive = in_image
 
             def bounce_cond(state):
                 i = state[0]

@@ -173,6 +173,9 @@ def _make_kernel(
         # st fragment centers (shader.frag:410)
         px = ipx.astype(jnp.float32)
         py = ipy.astype(jnp.float32)
+        # padding lanes (the 2-D tile grid rounds W/H up): never alive, so
+        # they cost nothing, count nothing, and their output is cropped
+        in_image = ((ipx < width) & (ipy < height)).astype(jnp.float32)
 
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
 
@@ -206,7 +209,7 @@ def _make_kernel(
             rr, rg, rb = zero, zero, zero
             # alive mask carried as f32: Mosaic can't carry i1 vectors
             # through while_loop (i8->i1 trunci is unsupported)
-            alive = jnp.ones((r_sub, LANES), jnp.float32)
+            alive = in_image
 
             def bounce_cond(state):
                 i = state[0]
@@ -860,7 +863,7 @@ def _make_kernel_mxu(
             cg = jnp.ones((r_sub, LANES), jnp.float32)
             cb = jnp.ones((r_sub, LANES), jnp.float32)
             rr, rg, rb = zero, zero, zero
-            alive = jnp.ones((r_sub, LANES), jnp.float32)
+            alive = in_image
 
             def bounce_cond(state):
                 i = state[0]
