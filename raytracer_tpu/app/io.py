@@ -19,9 +19,24 @@ from raytracer_tpu import native
 
 
 def tonemap_u8(image, flip_vertical: bool = True) -> np.ndarray:
-    """Clamp to [0,1], quantize to u8 (round-half-up like the native path),
-    flip GL row order to scanline order."""
-    arr = np.asarray(image, dtype=np.float32)
+    """Clamp to [0,1], quantize to u8, flip GL row order to scanline order.
+    Uses the native C++ runtime when available; numpy fallback is
+    bit-identical."""
+    arr = np.ascontiguousarray(image, dtype=np.float32)
+    if native.LIB is not None and arr.ndim == 3 and arr.shape[2] == 3:
+        import ctypes
+
+        h, w, _ = arr.shape
+        out = np.empty((h, w, 3), np.uint8)
+        rc = native.LIB.rt_tonemap_u8(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h,
+            w,
+            1 if flip_vertical else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out
     arr = np.clip(arr, 0.0, 1.0)
     out = (arr * 255.0 + 0.5).astype(np.uint8)
     if flip_vertical:

@@ -9,8 +9,8 @@ render flags, input state and analytics; here the split is explicit:
 
 ``update_pipeline``'s change-detection-by-struct-equality
 (src/state.rs:319-347: re-derive, compare, reset accumulation on change)
-becomes :meth:`camera_changed` — compare the camera pytree before/after an
-edit and reset accumulation if anything moved.
+becomes :func:`cameras_equal` — the engine compares the camera pytree
+before/after an edit and resets accumulation if anything moved.
 """
 
 from __future__ import annotations
