@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="render a debug AOV instead of the beauty pass",
     )
     p.add_argument(
+        "--russian-roulette",
+        type=int,
+        default=0,
+        metavar="DEPTH",
+        help="unbiased Russian-roulette termination from this bounce on "
+        "(0 = off; faster deep renders, slightly more variance)",
+    )
+    p.add_argument(
         "--book-physics",
         action="store_true",
         help="canonical RTiOW physics (black on depth exhaustion + near-zero "
@@ -74,6 +82,7 @@ def main(argv=None) -> int:
         backend=args.backend,
         exhaust_black=args.book_physics,
         near_zero_guard=args.book_physics,
+        russian_roulette_depth=args.russian_roulette,
     )
     key = jax.random.PRNGKey(args.seed)
 

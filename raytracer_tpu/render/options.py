@@ -35,6 +35,11 @@ class TraceOptions:
     gamma: bool = True
     enable_debug: bool = False
     backend: str = "auto"  # 'auto' | 'jnp' | 'pallas'
+    #: 0 disables. If > 0, from that bounce onward rays terminate with
+    #: probability 1 - max(throughput) and survivors are reweighted by
+    #: 1/p — unbiased Russian roulette (beyond the reference/book-1; cuts
+    #: the deep glass tail that dominates high-depth renders)
+    russian_roulette_depth: int = 0
 
 
 @flax.struct.dataclass

@@ -407,6 +407,22 @@ def _make_kernel(
                 dx = jnp.where(scat, ndx, dx)
                 dy = jnp.where(scat, ndy, dy)
                 dz = jnp.where(scat, ndz, dz)
+                if opts.russian_roulette_depth > 0:
+                    # unbiased termination: survive with p = max(throughput)
+                    p_surv = jnp.clip(
+                        jnp.maximum(cr, jnp.maximum(cg, cb)), 0.05, 1.0
+                    )
+                    u = _u01(pix, ctr, 7)
+                    roll = i >= opts.russian_roulette_depth
+                    # boolean algebra, not select_n over i1 (Mosaic can't)
+                    survive = jnp.logical_or(
+                        jnp.logical_not(roll), u < p_surv
+                    )
+                    boost = jnp.where(roll & survive & scat, 1.0 / p_surv, 1.0)
+                    cr = cr * boost
+                    cg = cg * boost
+                    cb = cb * boost
+                    scat = scat & survive
                 return (i + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
                         rr, rg, rb, scat.astype(jnp.float32), segs)
 

@@ -242,6 +242,17 @@ def trace_rays(
         color = jnp.where(scat[..., None], color * attenuation, color)
         o = jnp.where(scat[..., None], rec.point, o)
         d = jnp.where(scat[..., None], new_dir, d)
+        if opts.russian_roulette_depth > 0:
+            # unbiased termination: survive with p = max(throughput)
+            p_surv = jnp.clip(jnp.max(color, axis=-1), 0.05, 1.0)
+            u = jax.random.uniform(jax.random.fold_in(bkey, 7), p_surv.shape)
+            roll = i >= opts.russian_roulette_depth
+            survive = jnp.where(roll, u < p_surv, True)
+            color = jnp.where(
+                (scat & roll & survive)[..., None], color / p_surv[..., None],
+                color,
+            )
+            scat = scat & survive
         return o, d, color, result, scat, segments
 
     color0 = jnp.ones((p, 3), origin.dtype)

@@ -314,3 +314,21 @@ def test_render_stats(key):
         scene, dcam, 32, 18, 2, key, TraceOptions(max_depth=4), return_stats=True
     )
     assert float(stats["segments"]) >= 32 * 18 * 2  # at least primary rays
+
+
+def test_russian_roulette_unbiased_and_cheaper(key):
+    """RR terminates deep paths early but stays unbiased (converges to the
+    same image within noise) and never traces more segments."""
+    scene, cam, *_ = presets.get_config("three_sphere", 64, 36)
+    dcam = derive_camera(cam)
+    base, sb = render_image_jnp(
+        scene, dcam, 64, 36, 32, key, TraceOptions(max_depth=16),
+        return_stats=True,
+    )
+    rr, sr = render_image_jnp(
+        scene, dcam, 64, 36, 32, key,
+        TraceOptions(max_depth=16, russian_roulette_depth=3),
+        return_stats=True,
+    )
+    assert float(sr["segments"]) < float(sb["segments"])
+    assert np.abs(np.asarray(base) - np.asarray(rr)).mean() < 0.02
