@@ -60,6 +60,7 @@ class Engine:
         seed: int = 0,
         enable_debugging: bool = False,
         exhaust_black: bool = False,
+        russian_roulette_depth: int = 0,
     ):
         self.scene = scene
         # the device-side scene: pre-clustered once for the pallas backend on
@@ -81,6 +82,7 @@ class Engine:
         )
         self.backend = backend
         self.exhaust_black = exhaust_black
+        self.russian_roulette_depth = russian_roulette_depth
         self.render_state: RenderState = init_render_state(
             width, height, jax.random.PRNGKey(seed)
         )
@@ -100,6 +102,7 @@ class Engine:
                 enable_debug=self.app.enable_debugging,
                 exhaust_black=self.exhaust_black,
                 backend=self.backend,
+                russian_roulette_depth=self.russian_roulette_depth,
             )
             self._step_cache[key] = make_step_fn(
                 self.app.width,
