@@ -15,7 +15,13 @@ TPU-native scaling story is explicit and lives here:
 from raytracer_tpu.parallel.sharding import (
     make_mesh,
     render_image_sharded,
+    render_image_sharded_pallas,
     make_sharded_step_fn,
 )
 
-__all__ = ["make_mesh", "render_image_sharded", "make_sharded_step_fn"]
+__all__ = [
+    "make_mesh",
+    "render_image_sharded",
+    "render_image_sharded_pallas",
+    "make_sharded_step_fn",
+]

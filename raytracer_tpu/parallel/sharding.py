@@ -85,6 +85,83 @@ def _render_shard(
     return color.reshape(rows_local, -1, 3), segments[None]
 
 
+def render_image_sharded_pallas(
+    scene: Scene,
+    camera: CameraConfig,
+    width: int,
+    height: int,
+    spp: int,
+    key,
+    mesh: Mesh,
+    opts: TraceOptions | None = None,
+    return_stats: bool = False,
+):
+    """Multi-chip render through the Pallas megakernel.
+
+    Each 'rows' shard renders its horizontal band via the kernel's
+    row-offset path, and each 'spp' shard renders a disjoint global sample
+    range — both offsets reproduce the exact single-chip pixel/sample RNG
+    streams, so the full-mesh render equals the single-chip render up to
+    f32 summation order. One psum of linear color per render rides the ICI.
+    """
+    import functools as _ft
+
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    opts = opts or TraceOptions()
+    rows = mesh.shape["rows"]
+    spp_axis = "spp" if "spp" in mesh.shape else None
+    spp_size = mesh.shape.get("spp", 1)
+    if height % (rows * 8):
+        raise ValueError(
+            f"height {height} must be divisible by rows*8 = {rows * 8}"
+        )
+    if spp % spp_size:
+        raise ValueError(f"spp {spp} not divisible by spp axis {spp_size}")
+    local_h = height // rows
+    spp_local = spp // spp_size
+    interpret = jax.default_backend() != "tpu"
+    dcam = derive_camera(camera)
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
+
+    def shard_body(scene, dcam, seed):
+        row_offset = jax.lax.axis_index("rows") * local_h
+        samp0 = (
+            jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
+        )
+        chunk = pk._pick_chunk_spp(
+            spp_local, width * local_h, scene.count, opts.max_depth
+        )
+        acc = None
+        offset = 0
+        while offset < spp_local:
+            cs = min(chunk, spp_local - offset)
+            out = pk._render_chunk(
+                scene, dcam, seed, samp0 + offset, width, height, cs, opts,
+                8, interpret, local_height=local_h, row_offset=row_offset,
+            )
+            acc = out if acc is None else acc + out
+            offset += cs
+        if spp_axis is not None:
+            acc = jax.lax.psum(acc, spp_axis)
+        image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)
+        return image, segments[None]
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("rows", None, None), P("rows")),
+        check_rep=False,
+    )
+    image, segments = jax.jit(fn)(scene, dcam, seed)
+    if return_stats:
+        # per-rows-shard values are already psum'ed across the spp axis
+        return image, {"segments": jnp.sum(segments)}
+    return image
+
+
 def render_image_sharded(
     scene: Scene,
     camera: CameraConfig,

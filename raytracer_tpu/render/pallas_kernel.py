@@ -149,6 +149,10 @@ def _make_kernel(
         t = pl.program_id(0)
         base_seed = seed_ref[0]
         sample_offset = seed_ref[1]
+        # global pixel-row offset of this shard (0 single-chip; shard_map
+        # passes rows_index * local_height so RNG streams and ray geometry
+        # are IDENTICAL to the single-chip render at any mesh size)
+        row_offset = seed_ref[2]
 
         # sphere SoA columns, (S_pad, 1) — sph_ref is a (S_pad, 12) VMEM
         # table; spheres broadcast along lanes against per-ray rows
@@ -165,7 +169,7 @@ def _make_kernel(
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
         ipx = (t % tiles_x) * LANES + lane_ids
-        ipy = (t // tiles_x) * r_sub + row_ids
+        ipy = row_offset + (t // tiles_x) * r_sub + row_ids
         gid = ipy * (tiles_x * LANES) + ipx
         # fold the frame/key seed into the pixel hash key
         pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
@@ -1188,6 +1192,7 @@ def _camera_uniforms(dcam: DerivedCamera) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+        "local_height",
     ),
 )
 def _render_chunk(
@@ -1201,18 +1206,28 @@ def _render_chunk(
     opts: TraceOptions,
     r_sub: int,
     interpret: bool,
+    local_height: int | None = None,
+    row_offset=0,
 ):
     """One kernel launch tracing chunk_spp samples; returns (nt,4,r,l)
     linear color sums + per-tile segment counts in channel 3. Tiles are
-    rectangular (r_sub x LANES)-pixel blocks over a padded 2-D grid."""
+    rectangular (r_sub x LANES)-pixel blocks over a padded 2-D grid.
+
+    ``local_height``/``row_offset`` render a horizontal band of the full
+    image (the shard_map rows-sharded path); geometry and RNG match the
+    single-chip render exactly."""
     tiles_x = pl.cdiv(width, LANES)
-    tiles_y = pl.cdiv(height, r_sub)
+    tiles_y = pl.cdiv(local_height or height, r_sub)
     nt = tiles_x * tiles_y
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
         height, opts, tiles_x,
     )
-    seeds = jnp.stack([seed, jnp.asarray(sample_offset, jnp.int32)])
+    seeds = jnp.stack([
+        seed,
+        jnp.asarray(sample_offset, jnp.int32),
+        jnp.asarray(row_offset, jnp.int32),
+    ])
     return pl.pallas_call(
         kernel,
         grid=(nt,),

@@ -110,3 +110,23 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_pallas_matches_single_chip(setup, key):
+    """The Pallas kernel under shard_map (rows x spp mesh) reproduces the
+    single-chip pallas render to f32 summation order."""
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=4)
+    img, stats = render_image_sharded_pallas(
+        scene, cam, W, H, 4, key, make_mesh((4, 2)), opts, return_stats=True
+    )
+    single = pk._render_pallas(
+        scene, derive_camera(cam), key, W, H, 4, opts, False, 8, True, "flat"
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(single), atol=1e-6
+    )
+    assert float(stats["segments"]) >= W * H * 4
