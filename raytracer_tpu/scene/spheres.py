@@ -110,3 +110,70 @@ def make_scene(
     if pad_to is not None:
         scene = scene.pad_to(pad_to)
     return scene
+
+
+def update_sphere(
+    scene: Scene,
+    index: int,
+    center=None,
+    radius=None,
+    material: Material | None = None,
+    active: bool | None = None,
+) -> Scene:
+    """Return a new Scene with sphere ``index`` modified (pure update).
+
+    The reference had no scene editing at all (the sphere list was uploaded
+    once at startup, src/webgl.rs:225-274); here edits are cheap pytree
+    updates — pair with ``reset_accumulation`` to restart convergence, like
+    any camera change.
+    """
+    s = scene
+    if center is not None:
+        s = s.replace(center=s.center.at[index].set(jnp.asarray(center, jnp.float32)))
+    if radius is not None:
+        s = s.replace(radius=s.radius.at[index].set(float(radius)))
+    if material is not None:
+        s = s.replace(
+            material_type=s.material_type.at[index].set(material.material_type),
+            albedo=s.albedo.at[index].set(jnp.asarray(material.albedo, jnp.float32)),
+            fuzz=s.fuzz.at[index].set(material.fuzz),
+            refraction_index=s.refraction_index.at[index].set(
+                material.refraction_index
+            ),
+        )
+    if active is not None:
+        s = s.replace(active=s.active.at[index].set(1.0 if active else 0.0))
+    return s
+
+
+def add_sphere(scene: Scene, center, radius, material: Material) -> Scene:
+    """Append a sphere, reusing an inactive slot when available (no shape
+    change → no recompile), else growing the arrays by one (recompiles)."""
+    import numpy as np
+
+    inactive = np.where(np.asarray(scene.active) == 0.0)[0]
+    if inactive.size:
+        return update_sphere(
+            scene, int(inactive[0]), center=center, radius=radius,
+            material=material, active=True,
+        )
+
+    def app(arr, value):
+        return jnp.concatenate(
+            [arr, jnp.asarray(value, arr.dtype)[None]], axis=0
+        )
+
+    return Scene(
+        center=app(scene.center, jnp.asarray(center, jnp.float32)),
+        radius=app(scene.radius, float(radius)),
+        material_type=app(scene.material_type, material.material_type),
+        albedo=app(scene.albedo, jnp.asarray(material.albedo, jnp.float32)),
+        fuzz=app(scene.fuzz, material.fuzz),
+        refraction_index=app(scene.refraction_index, material.refraction_index),
+        active=app(scene.active, 1.0),
+    )
+
+
+def remove_sphere(scene: Scene, index: int) -> Scene:
+    """Deactivate a sphere (slot becomes reusable padding; no recompile)."""
+    return update_sphere(scene, index, active=False)

@@ -74,3 +74,56 @@ def test_all_baseline_configs_resolve():
         scene, cam, w, h, spp, depth = presets.get_config(name)
         assert scene.count >= 1
         assert w > 0 and h > 0 and spp >= 1 and depth >= 1
+
+
+def test_update_sphere_pure():
+    from raytracer_tpu.scene.spheres import update_sphere
+
+    s = presets.two_sphere_scene()
+    s2 = update_sphere(s, 0, center=(1, 2, 3), radius=0.25,
+                       material=Material.metal((1, 0, 0), fuzz=0.3))
+    # original untouched
+    np.testing.assert_allclose(np.asarray(s.center[0]), [0, 0, -1])
+    np.testing.assert_allclose(np.asarray(s2.center[0]), [1, 2, 3])
+    assert float(s2.radius[0]) == 0.25
+    assert int(s2.material_type[0]) == METAL
+    np.testing.assert_allclose(float(s2.fuzz[0]), 0.3, rtol=1e-6)
+
+
+def test_add_sphere_reuses_inactive_slot():
+    from raytracer_tpu.scene.spheres import add_sphere, remove_sphere
+
+    s = presets.two_sphere_scene().pad_to(4)
+    s2 = add_sphere(s, (5, 5, 5), 1.0, Material.glass(1.5))
+    assert s2.count == 4  # no shape change
+    assert int(s2.num_active()) == 3
+    # removing frees the slot again
+    s3 = remove_sphere(s2, 2)
+    assert int(s3.num_active()) == 2
+
+
+def test_add_sphere_grows_when_full():
+    from raytracer_tpu.scene.spheres import add_sphere
+
+    s = presets.two_sphere_scene()
+    s2 = add_sphere(s, (5, 5, 5), 1.0, Material.diffuse((1, 1, 1)))
+    assert s2.count == 3
+    assert int(s2.num_active()) == 3
+
+
+def test_edited_scene_renders():
+    import jax
+
+    from raytracer_tpu.camera.camera import derive_camera
+    from raytracer_tpu.render.options import TraceOptions
+    from raytracer_tpu.render.tracer import render_image_jnp
+    from raytracer_tpu.scene.spheres import update_sphere
+
+    s = presets.two_sphere_scene()
+    s2 = update_sphere(s, 0, material=Material.metal((0.9, 0.1, 0.1)))
+    cam = presets.simple_camera(48, 27)
+    a = render_image_jnp(s, derive_camera(cam), 48, 27, 2,
+                         jax.random.PRNGKey(0), TraceOptions(max_depth=4))
+    b = render_image_jnp(s2, derive_camera(cam), 48, 27, 2,
+                         jax.random.PRNGKey(0), TraceOptions(max_depth=4))
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
