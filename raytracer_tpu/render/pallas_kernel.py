@@ -1364,12 +1364,16 @@ def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
     return image, jnp.sum(acc[:, 3, 0, 0])
 
 
-def _pick_chunk_spp(spp: int, p: int, s_count: int, max_depth: int) -> int:
+def _pick_chunk_spp(
+    spp: int, p: int, s_count: int, max_depth: int, rr_depth: int = 0
+) -> int:
     """Bound one launch's work so long renders never trip the device
     watchdog (~multi-second kernels fault): target ~6e10 ray-sphere tests
     per launch ≈ 2-3 s of kernel time, amortizing the ~50-90 ms per-launch
-    dispatch latency through the device tunnel."""
-    per_sample = p * min(max_depth, 6) * max(s_count, 1)
+    dispatch latency through the device tunnel. Russian roulette caps the
+    effective tile depth, so RR renders take larger chunks."""
+    eff_depth = min(max_depth, max(rr_depth + 2, 4)) if rr_depth else min(max_depth, 6)
+    per_sample = p * eff_depth * max(s_count, 1)
     return max(1, min(spp, int(6e10 // max(per_sample, 1))))
 
 
@@ -1397,7 +1401,10 @@ def _render_pallas(
 
     clustered = isinstance(scene, ClusteredScene)
     count = scene.scene.count if clustered else scene.count
-    chunk = _pick_chunk_spp(spp, width * height, count, opts.max_depth)
+    chunk = _pick_chunk_spp(
+        spp, width * height, count, opts.max_depth,
+        opts.russian_roulette_depth,
+    )
     acc = None
     offset = 0
     while offset < spp:
