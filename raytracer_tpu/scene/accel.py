@@ -119,3 +119,90 @@ def build_clustered(scene: Scene, group: int = DEFAULT_GROUP) -> ClusteredScene:
     return ClusteredScene(
         scene=new_scene, bounds=jnp.asarray(bounds), uuid=jnp.asarray(uuid)
     )
+
+
+@flax.struct.dataclass
+class GridClusteredScene:
+    """Round-2 partition (validated in PERF.md): big spheres split into an
+    always-tested "global" set; small spheres grouped by 2-D grid cell over
+    (x, z) with tight bounding spheres.
+
+    Measured on the RTiOW cover scene: a primary ray's segment intersects
+    only ~4.8 of 144 cell bounds (vs 9.1 of 16 Morton bounds), and a
+    128-ray row's union is ~4 — ~24x fewer exact sphere tests than the
+    flat scan once the kernel gates on these bounds.
+    """
+
+    scene: Scene  # global spheres first, then cell clusters, padded per-cell
+    bounds: jnp.ndarray  # (K, 4) cell bounding spheres
+    n_global: int = flax.struct.field(pytree_node=False)
+    group: int = flax.struct.field(pytree_node=False)
+    uuid: jnp.ndarray  # slot -> original index (-1 padding)
+
+
+def build_grid_clustered(
+    scene: Scene,
+    cell_size: float = 2.0,
+    big_radius: float = 0.5,
+    group: int = 8,
+) -> GridClusteredScene:
+    """Host-side build of the ground-separated 2-D grid partition."""
+    centers = np.asarray(scene.center, np.float64)
+    radii = np.asarray(scene.radius, np.float64)
+    active = np.asarray(scene.active) > 0.0
+    big = (np.abs(radii) > big_radius) & active
+    small = active & ~big
+
+    order = list(np.where(big)[0])
+    n_global = len(order)
+
+    cells: dict = {}
+    for i in np.where(small)[0]:
+        key = (
+            int(np.floor(centers[i, 0] / cell_size)),
+            int(np.floor(centers[i, 2] / cell_size)),
+        )
+        cells.setdefault(key, []).append(int(i))
+
+    bounds = []
+    slots = []  # original index or -1 per padded slot
+    for members in cells.values():
+        # split oversize cells into chunks of `group`
+        for c0 in range(0, len(members), group):
+            chunk = members[c0 : c0 + group]
+            pts = centers[chunk]
+            rs = np.abs(radii[chunk])
+            ctr = pts.mean(axis=0)
+            rad = float(np.max(np.linalg.norm(pts - ctr, axis=1) + rs))
+            bounds.append((*ctr.astype(np.float32), np.float32(rad * 1.0001)))
+            slots.extend(chunk + [-1] * (group - len(chunk)))
+
+    uuid = np.array(order + slots, dtype=np.int32)
+    total = len(uuid)
+
+    def take(src, fill=0.0):
+        a = np.asarray(src)
+        out_shape = (total,) + a.shape[1:]
+        out = np.full(out_shape, fill, a.dtype)
+        live = uuid >= 0
+        out[live] = a[uuid[live]]
+        return out
+
+    new_scene = Scene(
+        center=jnp.asarray(take(scene.center), jnp.float32),
+        radius=jnp.asarray(take(scene.radius, 1.0), jnp.float32),
+        material_type=jnp.asarray(take(scene.material_type), jnp.int32),
+        albedo=jnp.asarray(take(scene.albedo), jnp.float32),
+        fuzz=jnp.asarray(take(scene.fuzz), jnp.float32),
+        refraction_index=jnp.asarray(
+            take(scene.refraction_index, 1.0), jnp.float32
+        ),
+        active=jnp.asarray((uuid >= 0).astype(np.float32)),
+    )
+    return GridClusteredScene(
+        scene=new_scene,
+        bounds=jnp.asarray(np.array(bounds, np.float32)),
+        n_global=n_global,
+        group=group,
+        uuid=jnp.asarray(uuid),
+    )

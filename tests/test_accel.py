@@ -84,3 +84,29 @@ def test_culled_variant_bitwise_equals_flat():
         scene, dcam, 128, 64, 2, key, opts, variant="culled"
     )
     np.testing.assert_array_equal(np.asarray(flat), np.asarray(culled))
+
+
+def test_grid_clustered_partition():
+    """Round-2 partition: globals + tight grid-cell clusters cover every
+    sphere exactly once and bounds contain their members."""
+    from raytracer_tpu.scene.accel import build_grid_clustered
+
+    scene = presets.cover_scene()
+    g = build_grid_clustered(scene)
+    uuid = np.asarray(g.uuid)
+    live = uuid[uuid >= 0]
+    assert sorted(live.tolist()) == list(range(scene.count))
+    assert g.n_global >= 1  # the ground sphere at least
+    # bounds contain members
+    c = np.asarray(g.scene.center)
+    r = np.abs(np.asarray(g.scene.radius))
+    b = np.asarray(g.bounds)
+    for ci in range(b.shape[0]):
+        lo = g.n_global + ci * g.group
+        for j in range(lo, lo + g.group):
+            if uuid[j] < 0:
+                continue
+            d = np.linalg.norm(c[j] - b[ci, :3]) + r[j]
+            assert d <= b[ci, 3] * 1.001
+    # bounds are tight (mean radius ~1 for 2-unit cells of 0.2-spheres)
+    assert float(b[:, 3].mean()) < 1.6
