@@ -9,8 +9,9 @@ exactly on device). Prints ONE JSON line:
 vs_baseline is against the 500 Mrays/s target from BASELINE.json ("converged
 in <2 s on one TPU chip at >500 Mrays/s").
 
-Env knobs: BENCH_CONFIG (default 'cover'), BENCH_SPP, BENCH_BACKEND,
-BENCH_REPEATS.
+Env knobs: BENCH_CONFIG ('cover' default, or 'all' for the full matrix),
+BENCH_SPP, BENCH_BACKEND, BENCH_REPEATS, BENCH_RR (Russian-roulette start
+bounce; default 5, 0 = pure reference physics).
 """
 
 from __future__ import annotations
