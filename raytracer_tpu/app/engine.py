@@ -63,15 +63,6 @@ class Engine:
         russian_roulette_depth: int = 0,
     ):
         self.scene = scene
-        # the device-side scene: pre-clustered once for the pallas backend on
-        # big scenes (host-side build; picking keeps the original ordering)
-        self.render_scene = scene
-        if backend == "pallas":
-            from raytracer_tpu.render.pallas_kernel import CLUSTER_THRESHOLD
-            from raytracer_tpu.scene.accel import build_clustered
-
-            if scene.count >= CLUSTER_THRESHOLD:
-                self.render_scene = build_clustered(scene)
         self.camera = camera
         self.app = AppState(
             width=width,
@@ -211,7 +202,7 @@ class Engine:
 
         step = self._step_fn(self.app.effective_spp())
         self.render_state, aux = step(
-            self.render_state, self.render_scene, self.camera,
+            self.render_state, self.scene, self.camera,
             self._debug_params(),
         )
         self.total_segments += float(aux["segments"])

@@ -460,638 +460,6 @@ def _make_kernel(
     return kernel
 
 
-def _make_kernel_clustered(
-    k_clusters: int,
-    group: int,
-    spp: int,
-    max_depth: int,
-    r_sub: int,
-    width: int,
-    height: int,
-    opts: TraceOptions,
-):
-    """Cluster-culled kernel (experimental variant; see scene/accel.py).
-
-    Measured SLOWER than the flat kernel on v5e: the per-cluster lax.cond
-    (31 conds/row-bounce, each shuffling an 11-array carry) costs more than
-    the culled work saves. Kept for future tuning with cheaper gating; see
-    PERF.md.
-
-    Differences from the flat kernel:
-    - the bounce loop runs PER 128-ray lane row (tighter early exit than the
-      whole tile),
-    - each bounce first tests the row against all K cluster bounding spheres
-      in one (K,128) vector sweep, reduces to per-cluster "any live ray hit"
-      scalars in VMEM scratch, then runs the (group,128) exact-intersection
-      block only for clusters whose scalar fired (`lax.cond` skip).
-
-    This is the TPU-native replacement for a BVH: flat, fixed-shape,
-    branch-coarse (per 128 rays), zero pointer chasing.
-    """
-    tile = r_sub * LANES
-    inv_w = 1.0 / width
-    inv_h = 1.0 / height
-    k_pad = max(8, -(-k_clusters // 8) * 8)
-    draws_per_bounce = 8
-    draws_per_sample = 4 + max_depth * draws_per_bounce
-
-    def kernel(uni_ref, seed_ref, sph_ref, clu_ref, out_ref, scr_ref):
-        ox0, oy0, oz0 = uni_ref[0], uni_ref[1], uni_ref[2]
-        llx, lly, llz = uni_ref[3], uni_ref[4], uni_ref[5]
-        hx, hy, hz = uni_ref[6], uni_ref[7], uni_ref[8]
-        vx, vy, vz = uni_ref[9], uni_ref[10], uni_ref[11]
-        ux, uy, uz = uni_ref[12], uni_ref[13], uni_ref[14]
-        vvx, vvy, vvz = uni_ref[15], uni_ref[16], uni_ref[17]
-        lens_radius = uni_ref[18]
-
-        t = pl.program_id(0)
-        base_seed = seed_ref[0]
-        sample_offset = seed_ref[1]
-
-        # cluster bound columns, (K_pad, 1)
-        k_cx = clu_ref[:, 0:1]
-        k_cy = clu_ref[:, 1:2]
-        k_cz = clu_ref[:, 2:3]
-        k_k1 = clu_ref[:, 3:4]  # |c|^2 - rad^2
-        k_val = clu_ref[:, 4:5]  # 1.0 live cluster, 0.0 padding
-
-        # per-row (1,128) lane iota — each row's values are built from a
-        # fresh canonical-layout iota rather than sublane-offset slices of a
-        # (r_sub,128) array (Mosaic can't relayout those: "sublane broadcast")
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        zero_row = jnp.zeros((1, LANES), jnp.float32)
-
-        def sample_body(s, carry):
-            acc_r, acc_g, acc_b, segs = carry
-            ctr0 = (sample_offset + s) * draws_per_sample
-
-            out_rows = [None] * r_sub
-            for row in range(r_sub):
-                gid = t * tile + row * LANES + lane_row
-                pix = _lowbias32(
-                    gid.astype(jnp.uint32) ^ jnp.uint32(base_seed)
-                )
-                px = (gid % width).astype(jnp.float32)
-                py = (gid // width).astype(jnp.float32)
-
-                st_s = (px + 0.5 + _u01(pix, ctr0, 0)) * inv_w
-                st_t = (py + 0.5 + _u01(pix, ctr0, 1)) * inv_h
-                ang = _u01(pix, ctr0, 2) * TWO_PI
-                rad = lens_radius * jnp.sqrt(_u01(pix, ctr0, 3))
-                rdx = rad * jnp.cos(ang)
-                rdy = rad * jnp.sin(ang)
-                ox = ox0 + (ux * rdx + vvx * rdy)
-                oy = oy0 + (uy * rdx + vvy * rdy)
-                oz = oz0 + (uz * rdx + vvz * rdy)
-                dx = llx + st_s * hx + st_t * vx - ox
-                dy = lly + st_s * hy + st_t * vy - oy
-                dz = llz + st_s * hz + st_t * vz - oz
-
-                def bounce_cond(state):
-                    i = state[0]
-                    alive = state[13]
-                    return jnp.logical_and(
-                        i < max_depth, jnp.max(alive) > 0.0
-                    )
-
-                def bounce_body(state):
-                    (i, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                     alive, segs) = state
-                    ctr = ctr0 + 4 + i * draws_per_bounce
-                    segs = segs + jnp.sum(alive)
-                    alive_b = alive > 0.0
-
-                    a = _dot3(dx, dy, dz, dx, dy, dz)
-                    inv_a = 1.0 / a
-                    o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
-                    o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
-                    min_t_a = MIN_T * a
-
-                    # --- cluster bound sweep, (K_pad, 128) ---
-                    c_dot_d = k_cx * dx + k_cy * dy + k_cz * dz
-                    c_dot_o = k_cx * ox + k_cy * oy + k_cz * oz
-                    half_b = o_dot_d - c_dot_d
-                    c_coef = o_dot_o - 2.0 * c_dot_o + k_k1
-                    disc = half_b * half_b - a * c_coef
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    # any t in [MIN_T, inf): far root >= MIN_T, div-free
-                    chit = (
-                        (disc >= 0.0)
-                        & (sq >= half_b + min_t_a)
-                        & (k_val > 0.0)
-                        & alive_b
-                    )
-                    scr_ref[:, :] = jnp.broadcast_to(
-                        jnp.sum(chit.astype(jnp.float32), axis=1,
-                                keepdims=True),
-                        (k_pad, LANES),
-                    )
-
-                    # --- exact tests, only where a cluster fired ---
-                    def cluster_body(c, hcarry):
-                        def run_block(hc):
-                            (best_t, scx, scy, scz, ivr, mat, ar, ag, ab,
-                             fz, rf) = hc
-                            blk = sph_ref[pl.ds(c * group, group), :]
-                            bcx = blk[:, 0:1]
-                            bcy = blk[:, 1:2]
-                            bcz = blk[:, 2:3]
-                            bk1 = blk[:, 3:4]
-                            bact = blk[:, 11:12]
-                            cdd = bcx * dx + bcy * dy + bcz * dz
-                            cdo = bcx * ox + bcy * oy + bcz * oz
-                            hb = o_dot_d - cdd
-                            cc = o_dot_o - 2.0 * cdo + bk1
-                            dsc = hb * hb - a * cc
-                            sq2 = jnp.sqrt(jnp.maximum(dsc, 0.0))
-                            rn = (-hb - sq2) * inv_a
-                            rfar = (-hb + sq2) * inv_a
-                            root = jnp.where(rn >= MIN_T, rn, rfar)
-                            valid = (
-                                (dsc >= 0.0)
-                                & (root >= MIN_T)
-                                & (root <= MAX_T)
-                                & (bact > 0.0)
-                            )
-                            cand = jnp.where(valid, root, jnp.float32(3e38))
-                            bt = jnp.min(cand, axis=0, keepdims=True)
-                            improved = bt < best_t
-                            oh = (cand == bt).astype(jnp.float32)
-
-                            def g(col):
-                                return jnp.sum(oh * col, axis=0,
-                                               keepdims=True)
-
-                            return (
-                                jnp.where(improved, bt, best_t),
-                                jnp.where(improved, g(blk[:, 0:1]), scx),
-                                jnp.where(improved, g(blk[:, 1:2]), scy),
-                                jnp.where(improved, g(blk[:, 2:3]), scz),
-                                jnp.where(improved, g(blk[:, 4:5]), ivr),
-                                jnp.where(improved, g(blk[:, 5:6]), mat),
-                                jnp.where(improved, g(blk[:, 6:7]), ar),
-                                jnp.where(improved, g(blk[:, 7:8]), ag),
-                                jnp.where(improved, g(blk[:, 8:9]), ab),
-                                jnp.where(improved, g(blk[:, 9:10]), fz),
-                                jnp.where(improved, g(blk[:, 10:11]), rf),
-                            )
-
-                        return jax.lax.cond(
-                            scr_ref[c, 0] > 0.0,
-                            run_block,
-                            lambda hc: hc,
-                            hcarry,
-                        )
-
-                    init = (jnp.full((1, LANES), 3e38, jnp.float32),) + (
-                        zero_row,
-                    ) * 10
-                    (best_t, scx, scy, scz, inv_r, mat, al_r, al_g, al_b,
-                     fuzz, refr) = jax.lax.fori_loop(
-                        0, k_clusters, cluster_body, init
-                    )
-                    hit = best_t < jnp.float32(1e37)
-                    best_t = jnp.where(hit, best_t, MAX_T)
-
-                    # --- hit data + scatter + sky (same as flat kernel) ---
-                    hpx = ox + best_t * dx
-                    hpy = oy + best_t * dy
-                    hpz = oz + best_t * dz
-                    nx = (hpx - scx) * inv_r
-                    ny = (hpy - scy) * inv_r
-                    nz = (hpz - scz) * inv_r
-                    front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
-                    sgn = jnp.where(front, 1.0, -1.0)
-                    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-
-                    uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
-                    usx, usy, usz = _unit_sphere(pix, ctr, 3)
-                    glass_u = _u01(pix, ctr, 6)
-
-                    ddx = nx + uvx
-                    ddy = ny + uvy
-                    ddz = nz + uvz
-                    if opts.near_zero_guard:
-                        nz_mask = (
-                            (jnp.abs(ddx) < 1e-8)
-                            & (jnp.abs(ddy) < 1e-8)
-                            & (jnp.abs(ddz) < 1e-8)
-                        )
-                        ddx = jnp.where(nz_mask, nx, ddx)
-                        ddy = jnp.where(nz_mask, ny, ddy)
-                        ddz = jnp.where(nz_mask, nz, ddz)
-
-                    d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
-                    mdx = dx - 2.0 * d_dot_n * nx + fuzz * usx
-                    mdy = dy - 2.0 * d_dot_n * ny + fuzz * usy
-                    mdz = dz - 2.0 * d_dot_n * nz + fuzz * usz
-                    metal_ok = _dot3(nx, ny, nz, mdx, mdy, mdz) > 0.0
-
-                    ratio = jnp.where(front, 1.0 / refr, refr)
-                    udx, udy, udz = _normalize3(dx, dy, dz)
-                    cos_t = jnp.minimum(
-                        -_dot3(udx, udy, udz, nx, ny, nz), 1.0
-                    )
-                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                    cannot = ratio * sin_t > 1.0
-                    r0 = (1.0 - ratio) / (1.0 + ratio)
-                    r0 = r0 * r0
-                    one_m = 1.0 - cos_t
-                    one_m2 = one_m * one_m
-                    schlick = r0 + (1.0 - r0) * one_m2 * one_m2 * one_m
-                    reflects = jnp.logical_or(cannot, schlick > glass_u)
-                    rpx = ratio * (udx + cos_t * nx)
-                    rpy = ratio * (udy + cos_t * ny)
-                    rpz = ratio * (udz + cos_t * nz)
-                    kk = jnp.maximum(
-                        0.0, 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
-                    )
-                    sk = jnp.sqrt(kk)
-                    refx = rpx - sk * nx
-                    refy = rpy - sk * ny
-                    refz = rpz - sk * nz
-                    ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                    grx = udx - 2.0 * ud_dot_n * nx
-                    gry = udy - 2.0 * ud_dot_n * ny
-                    grz = udz - 2.0 * ud_dot_n * nz
-                    gdx = jnp.where(reflects, grx, refx)
-                    gdy = jnp.where(reflects, gry, refy)
-                    gdz = jnp.where(reflects, grz, refz)
-
-                    is_diffuse = mat < 0.5
-                    is_metal = jnp.logical_and(mat >= 0.5, mat < 1.5)
-                    is_glass = jnp.logical_and(mat >= 1.5, mat < 2.5)
-                    ndx = jnp.where(
-                        is_diffuse, ddx, jnp.where(is_metal, mdx, gdx)
-                    )
-                    ndy = jnp.where(
-                        is_diffuse, ddy, jnp.where(is_metal, mdy, gdy)
-                    )
-                    ndz = jnp.where(
-                        is_diffuse, ddz, jnp.where(is_metal, mdz, gdz)
-                    )
-                    did_scatter = (
-                        is_diffuse | (is_metal & metal_ok) | is_glass
-                    )
-
-                    miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
-                    sky_t = 0.5 * (udy + 1.0)
-                    sky_r = 1.0 - 0.5 * sky_t
-                    sky_g = 1.0 - 0.3 * sky_t
-                    rr = jnp.where(miss, cr * sky_r, rr)
-                    rg = jnp.where(miss, cg * sky_g, rg)
-                    rb = jnp.where(miss, cb * jnp.ones_like(sky_t), rb)
-
-                    scat = alive_b & hit & did_scatter
-                    cr = jnp.where(scat, cr * al_r, cr)
-                    cg = jnp.where(scat, cg * al_g, cg)
-                    cb = jnp.where(scat, cb * al_b, cb)
-                    ox = jnp.where(scat, hpx, ox)
-                    oy = jnp.where(scat, hpy, oy)
-                    oz = jnp.where(scat, hpz, oz)
-                    dx = jnp.where(scat, ndx, dx)
-                    dy = jnp.where(scat, ndy, dy)
-                    dz = jnp.where(scat, ndz, dz)
-                    return (i + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                            rr, rg, rb, scat.astype(jnp.float32), segs)
-
-                ones_row = jnp.ones((1, LANES), jnp.float32)
-                (_, _, _, _, _, _, _, cr, cg, cb, rr, rg, rb, alive,
-                 segs) = jax.lax.while_loop(
-                    bounce_cond,
-                    bounce_body,
-                    (jnp.int32(0), ox, oy, oz, dx, dy, dz, ones_row,
-                     ones_row, ones_row, zero_row, zero_row, zero_row,
-                     ones_row, segs),
-                )
-                if not opts.exhaust_black:
-                    alive_b = alive > 0.0
-                    rr = jnp.where(alive_b, cr, rr)
-                    rg = jnp.where(alive_b, cg, rg)
-                    rb = jnp.where(alive_b, cb, rb)
-                out_rows[row] = (rr, rg, rb)
-
-            rr = jnp.concatenate([r[0] for r in out_rows], axis=0)
-            rg = jnp.concatenate([r[1] for r in out_rows], axis=0)
-            rb = jnp.concatenate([r[2] for r in out_rows], axis=0)
-            return acc_r + rr, acc_g + rg, acc_b + rb, segs
-
-        zero = jnp.zeros((r_sub, LANES), jnp.float32)
-        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
-            0, spp, sample_body, (zero, zero, zero, jnp.float32(0.0))
-        )
-        out_ref[0, 0] = acc_r
-        out_ref[0, 1] = acc_g
-        out_ref[0, 2] = acc_b
-        out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
-
-    return kernel
-
-
-def _make_kernel_mxu(
-    s_pad: int,
-    spp: int,
-    max_depth: int,
-    r_sub: int,
-    width: int,
-    height: int,
-    opts: TraceOptions,
-):
-    """MXU-offloaded kernel (experimental variant).
-
-    Measured SLOWER than the flat kernel on v5e (matmul issue latency is not
-    amortized at (S,8)x(8,128) shapes and 6-pass f32 precision multiplies the
-    cost) — kept for future tuning; see PERF.md.
-
-    Same tile-level wavefront structure as the flat kernel (all per-ray
-    work at full (r_sub,128) VPU width — Mosaic cannot lower selects on
-    (1,128) values), but the two heaviest parts of the per-row closest-hit
-    scan ride the MXU instead of the VPU:
-
-    - the per-(sphere, ray) dot products c·d and c·o become two
-      (S,8)x(8,128) matmuls per ray row (origin/direction stacked into the
-      contraction dim),
-    - the winner-parameter gather becomes one (16,S)x(S,128) matmul of the
-      transposed parameter table against the one-hot winner mask, written
-      into a (16, r_sub, 128) scratch so the per-param planes read back as
-      canonical (r_sub,128) tiles.
-
-    This removes roughly 60% of the flat kernel's VPU work per bounce.
-    """
-    tile = r_sub * LANES
-    inv_w = 1.0 / width
-    inv_h = 1.0 / height
-    draws_per_bounce = 8
-    draws_per_sample = 4 + max_depth * draws_per_bounce
-    dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
-
-    def kernel(uni_ref, seed_ref, sph_ref, cen_ref, prm_ref, out_ref,
-               gat_ref):
-        # sph_ref: (S_pad, 12) column table (scan constants)
-        # cen_ref: (S_pad, 8) centers padded to contraction width 8
-        # prm_ref: (16, S_pad) transposed gather table
-        # gat_ref: (16, r_sub, LANES) VMEM scratch for gather results
-        ox0, oy0, oz0 = uni_ref[0], uni_ref[1], uni_ref[2]
-        llx, lly, llz = uni_ref[3], uni_ref[4], uni_ref[5]
-        hx, hy, hz = uni_ref[6], uni_ref[7], uni_ref[8]
-        vx, vy, vz = uni_ref[9], uni_ref[10], uni_ref[11]
-        ux, uy, uz = uni_ref[12], uni_ref[13], uni_ref[14]
-        vvx, vvy, vvz = uni_ref[15], uni_ref[16], uni_ref[17]
-        lens_radius = uni_ref[18]
-
-        t = pl.program_id(0)
-        base_seed = seed_ref[0]
-        sample_offset = seed_ref[1]
-
-        s_k1 = sph_ref[:, 3:4]
-        s_act = sph_ref[:, 11:12]
-        centers = cen_ref[:, :]
-        prm = prm_ref[:, :]
-
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
-        gid = t * tile + row_ids * LANES + lane_ids
-        pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
-        px = (gid % width).astype(jnp.float32)
-        py = (gid // width).astype(jnp.float32)
-
-        zero = jnp.zeros((r_sub, LANES), jnp.float32)
-        pad5 = jnp.zeros((5, LANES), jnp.float32)
-
-        def sample_body(s, carry):
-            acc_r, acc_g, acc_b, segs = carry
-            ctr0 = (sample_offset + s) * draws_per_sample
-
-            st_s = (px + 0.5 + _u01(pix, ctr0, 0)) * inv_w
-            st_t = (py + 0.5 + _u01(pix, ctr0, 1)) * inv_h
-            ang = _u01(pix, ctr0, 2) * TWO_PI
-            rad = lens_radius * jnp.sqrt(_u01(pix, ctr0, 3))
-            rdx = rad * jnp.cos(ang)
-            rdy = rad * jnp.sin(ang)
-            offx = ux * rdx + vvx * rdy
-            offy = uy * rdx + vvy * rdy
-            offz = uz * rdx + vvz * rdy
-
-            ox = ox0 + offx
-            oy = oy0 + offy
-            oz = oz0 + offz
-            dx = llx + st_s * hx + st_t * vx - ox
-            dy = lly + st_s * hy + st_t * vy - oy
-            dz = llz + st_s * hz + st_t * vz - oz
-
-            cr = jnp.ones((r_sub, LANES), jnp.float32)
-            cg = jnp.ones((r_sub, LANES), jnp.float32)
-            cb = jnp.ones((r_sub, LANES), jnp.float32)
-            rr, rg, rb = zero, zero, zero
-            alive = in_image
-
-            def bounce_cond(state):
-                i = state[0]
-                alive = state[13]
-                return jnp.logical_and(i < max_depth, jnp.max(alive) > 0.0)
-
-            def bounce_body(state):
-                (i, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive, segs) = state
-                ctr = ctr0 + 4 + i * draws_per_bounce
-
-                segs = segs + jnp.sum(alive)
-                alive_b = alive > 0.0
-
-                a = _dot3(dx, dy, dz, dx, dy, dz)
-                inv_a = 1.0 / a
-                o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
-                o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
-
-                bt_rows = []
-                for row in range(r_sub):
-                    dxr = dx[row : row + 1]
-                    dyr = dy[row : row + 1]
-                    dzr = dz[row : row + 1]
-                    oxr = ox[row : row + 1]
-                    oyr = oy[row : row + 1]
-                    ozr = oz[row : row + 1]
-                    a_r = a[row : row + 1]
-                    inv_a_r = inv_a[row : row + 1]
-                    odd_r = o_dot_d[row : row + 1]
-                    ooo_r = o_dot_o[row : row + 1]
-
-                    # MXU: c·d and c·o for all spheres at once
-                    d8 = jnp.concatenate([dxr, dyr, dzr, pad5], axis=0)
-                    o8 = jnp.concatenate([oxr, oyr, ozr, pad5], axis=0)
-                    c_dot_d = jax.lax.dot_general(
-                        centers, d8, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    c_dot_o = jax.lax.dot_general(
-                        centers, o8, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-
-                    half_b = odd_r - c_dot_d
-                    c_coef = ooo_r - 2.0 * c_dot_o + s_k1
-                    disc = half_b * half_b - a_r * c_coef
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    root_near = (-half_b - sq) * inv_a_r
-                    root_far = (-half_b + sq) * inv_a_r
-                    root = jnp.where(root_near >= MIN_T, root_near, root_far)
-                    valid = (
-                        (disc >= 0.0)
-                        & (root >= MIN_T)
-                        & (root <= MAX_T)
-                        & (s_act > 0.0)
-                    )
-                    cand = jnp.where(valid, root, jnp.float32(3e38))
-                    bt = jnp.min(cand, axis=0, keepdims=True)
-                    bt_rows.append(bt)
-
-                    # MXU: winner-parameter gather via one-hot matmul,
-                    # through scratch so param planes read back canonical
-                    oh = ((cand == bt) & (cand < 1e37)).astype(jnp.float32)
-                    prm16 = jax.lax.dot_general(
-                        prm, oh, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    gat_ref[:, row, :] = prm16
-
-                best_t = jnp.concatenate(bt_rows, axis=0)
-                hit = best_t < jnp.float32(1e37)
-                best_t = jnp.where(hit, best_t, MAX_T)
-
-                scx = gat_ref[0]
-                scy = gat_ref[1]
-                scz = gat_ref[2]
-                inv_r = gat_ref[3]
-                mat = gat_ref[4]
-                al_r = gat_ref[5]
-                al_g = gat_ref[6]
-                al_b = gat_ref[7]
-                fuzz = gat_ref[8]
-                refr = gat_ref[9]
-
-                hpx = ox + best_t * dx
-                hpy = oy + best_t * dy
-                hpz = oz + best_t * dz
-                nx = (hpx - scx) * inv_r
-                ny = (hpy - scy) * inv_r
-                nz = (hpz - scz) * inv_r
-                front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-
-                uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
-                usx, usy, usz = _unit_sphere(pix, ctr, 3)
-                glass_u = _u01(pix, ctr, 6)
-
-                ddx = nx + uvx
-                ddy = ny + uvy
-                ddz = nz + uvz
-                if opts.near_zero_guard:
-                    nz_mask = (
-                        (jnp.abs(ddx) < 1e-8)
-                        & (jnp.abs(ddy) < 1e-8)
-                        & (jnp.abs(ddz) < 1e-8)
-                    )
-                    ddx = jnp.where(nz_mask, nx, ddx)
-                    ddy = jnp.where(nz_mask, ny, ddy)
-                    ddz = jnp.where(nz_mask, nz, ddz)
-
-                d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
-                mdx = dx - 2.0 * d_dot_n * nx + fuzz * usx
-                mdy = dy - 2.0 * d_dot_n * ny + fuzz * usy
-                mdz = dz - 2.0 * d_dot_n * nz + fuzz * usz
-                metal_ok = _dot3(nx, ny, nz, mdx, mdy, mdz) > 0.0
-
-                ratio = jnp.where(front, 1.0 / refr, refr)
-                udx, udy, udz = _normalize3(dx, dy, dz)
-                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                cannot = ratio * sin_t > 1.0
-                r0 = (1.0 - ratio) / (1.0 + ratio)
-                r0 = r0 * r0
-                one_m = 1.0 - cos_t
-                one_m2 = one_m * one_m
-                schlick = r0 + (1.0 - r0) * one_m2 * one_m2 * one_m
-                reflects = jnp.logical_or(cannot, schlick > glass_u)
-                rpx = ratio * (udx + cos_t * nx)
-                rpy = ratio * (udy + cos_t * ny)
-                rpz = ratio * (udz + cos_t * nz)
-                kk = jnp.maximum(0.0, 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
-                sk = jnp.sqrt(kk)
-                refx = rpx - sk * nx
-                refy = rpy - sk * ny
-                refz = rpz - sk * nz
-                ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                grx = udx - 2.0 * ud_dot_n * nx
-                gry = udy - 2.0 * ud_dot_n * ny
-                grz = udz - 2.0 * ud_dot_n * nz
-                gdx = jnp.where(reflects, grx, refx)
-                gdy = jnp.where(reflects, gry, refy)
-                gdz = jnp.where(reflects, grz, refz)
-
-                is_diffuse = mat < 0.5
-                is_metal = jnp.logical_and(mat >= 0.5, mat < 1.5)
-                is_glass = jnp.logical_and(mat >= 1.5, mat < 2.5)
-                ndx = jnp.where(is_diffuse, ddx, jnp.where(is_metal, mdx, gdx))
-                ndy = jnp.where(is_diffuse, ddy, jnp.where(is_metal, mdy, gdy))
-                ndz = jnp.where(is_diffuse, ddz, jnp.where(is_metal, mdz, gdz))
-                did_scatter = is_diffuse | (is_metal & metal_ok) | is_glass
-
-                miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
-                sky_t = 0.5 * (udy + 1.0)
-                sky_r = 1.0 - 0.5 * sky_t
-                sky_g = 1.0 - 0.3 * sky_t
-                rr = jnp.where(miss, cr * sky_r, rr)
-                rg = jnp.where(miss, cg * sky_g, rg)
-                rb = jnp.where(miss, cb * jnp.ones_like(sky_t), rb)
-
-                scat = alive_b & hit & did_scatter
-                cr = jnp.where(scat, cr * al_r, cr)
-                cg = jnp.where(scat, cg * al_g, cg)
-                cb = jnp.where(scat, cb * al_b, cb)
-                ox = jnp.where(scat, hpx, ox)
-                oy = jnp.where(scat, hpy, oy)
-                oz = jnp.where(scat, hpz, oz)
-                dx = jnp.where(scat, ndx, dx)
-                dy = jnp.where(scat, ndy, dy)
-                dz = jnp.where(scat, ndz, dz)
-                return (i + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                        rr, rg, rb, scat.astype(jnp.float32), segs)
-
-            (_, _, _, _, _, _, _, cr, cg, cb, rr, rg, rb, alive,
-             segs) = jax.lax.while_loop(
-                bounce_cond,
-                bounce_body,
-                (jnp.int32(0), ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                 rr, rg, rb, alive, segs),
-            )
-            if not opts.exhaust_black:
-                alive_b = alive > 0.0
-                rr = jnp.where(alive_b, cr, rr)
-                rg = jnp.where(alive_b, cg, rg)
-                rb = jnp.where(alive_b, cb, rb)
-            return acc_r + rr, acc_g + rg, acc_b + rb, segs
-
-        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
-            0, spp, sample_body, (zero, zero, zero, jnp.float32(0.0))
-        )
-        out_ref[0, 0] = acc_r
-        out_ref[0, 1] = acc_g
-        out_ref[0, 2] = acc_b
-        out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
-
-    return kernel
-
-
-def _centers_table(scene: Scene) -> jnp.ndarray:
-    """(S_pad, 8) centers padded to contraction width 8 for the MXU."""
-    s_pad = _pad_spheres(scene.count)
-    c = jnp.zeros((s_pad, 8), jnp.float32)
-    return c.at[: scene.count, :3].set(scene.center.astype(jnp.float32))
-
 
 def _params_table_t(scene: Scene) -> jnp.ndarray:
     """(16, S_pad) transposed gather table: rows = cx, cy, cz, 1/r (signed),
@@ -1113,21 +481,6 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
     ).astype(jnp.float32)
     rows = jnp.pad(rows, ((0, 6), (0, s_pad - scene.count)))
     return rows
-
-
-def _cluster_table(bounds: jnp.ndarray) -> jnp.ndarray:
-    """(K_pad, 8) cluster-bound column table: cx, cy, cz, |c|^2 - rad^2,
-    valid flag. Padding rows are invalid."""
-    k = bounds.shape[0]
-    cx, cy, cz, rad = bounds[:, 0], bounds[:, 1], bounds[:, 2], bounds[:, 3]
-    k1 = cx * cx + cy * cy + cz * cz - rad * rad
-    valid = (rad >= 0.0).astype(jnp.float32)
-    table = jnp.stack([cx, cy, cz, k1, valid], axis=-1)
-    table = jnp.pad(table, ((0, 0), (0, 3)))
-    k_pad = max(8, -(-k // 8) * 8)
-    if k_pad != k:
-        table = jnp.pad(table, ((0, k_pad - k), (0, 0)))
-    return table
 
 
 def _pad_spheres(n: int) -> int:
@@ -1245,107 +598,6 @@ def _render_chunk(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-    ),
-)
-def _render_chunk_mxu(
-    scene: Scene,
-    dcam: DerivedCamera,
-    seed,
-    sample_offset,
-    width: int,
-    height: int,
-    chunk_spp: int,
-    opts: TraceOptions,
-    r_sub: int,
-    interpret: bool,
-):
-    """Chunk launch through the MXU-offloaded kernel."""
-    p = width * height
-    tile = r_sub * LANES
-    nt = pl.cdiv(p, tile)
-    kernel = _make_kernel_mxu(
-        _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
-        height, opts,
-    )
-    seeds = jnp.stack([seed, jnp.asarray(sample_offset, jnp.int32)])
-    return pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, sample_offset]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # centers (S_pad, 8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
-        ],
-        out_specs=pl.BlockSpec((1, 4, r_sub, LANES), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt, 4, r_sub, LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((16, r_sub, LANES), jnp.float32)],
-        interpret=interpret,
-    )(
-        _camera_uniforms(dcam),
-        seeds,
-        _sphere_table(scene),
-        _centers_table(scene),
-        _params_table_t(scene),
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "chunk_spp", "opts", "r_sub", "interpret", "group",
-    ),
-)
-def _render_chunk_clustered(
-    cscene,  # ClusteredScene
-    dcam: DerivedCamera,
-    seed,
-    sample_offset,
-    width: int,
-    height: int,
-    chunk_spp: int,
-    opts: TraceOptions,
-    r_sub: int,
-    interpret: bool,
-    group: int,
-):
-    """Chunk launch through the cluster-culled kernel."""
-    p = width * height
-    tile = r_sub * LANES
-    nt = pl.cdiv(p, tile)
-    k_clusters = cscene.bounds.shape[0]
-    k_pad = max(8, -(-k_clusters // 8) * 8)
-    kernel = _make_kernel_clustered(
-        k_clusters, group, chunk_spp, opts.max_depth, r_sub, width, height,
-        opts,
-    )
-    seeds = jnp.stack([seed, jnp.asarray(sample_offset, jnp.int32)])
-    return pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, sample_offset]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (K*G, 12)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster table (K_pad, 8)
-        ],
-        out_specs=pl.BlockSpec((1, 4, r_sub, LANES), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt, 4, r_sub, LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k_pad, LANES), jnp.float32)],
-        interpret=interpret,
-    )(
-        _camera_uniforms(dcam),
-        seeds,
-        _sphere_table(cscene.scene),
-        _cluster_table(cscene.bounds),
-    )
-
-
-@functools.partial(
     jax.jit, static_argnames=("width", "height", "spp", "gamma", "r_sub")
 )
 def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
@@ -1377,12 +629,8 @@ def _pick_chunk_spp(
     return max(1, min(spp, int(6e10 // max(per_sample, 1))))
 
 
-#: scenes at or above this sphere count auto-build the cluster structure
-CLUSTER_THRESHOLD = 64
-
-
 def _render_pallas(
-    scene,  # Scene | ClusteredScene
+    scene: Scene,
     dcam: DerivedCamera,
     key,
     width: int,
@@ -1392,42 +640,22 @@ def _render_pallas(
     return_stats: bool,
     r_sub: int,
     interpret: bool,
-    variant: str = "flat",
 ):
-    from raytracer_tpu.scene.accel import ClusteredScene
-
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
 
-    clustered = isinstance(scene, ClusteredScene)
-    count = scene.scene.count if clustered else scene.count
     chunk = _pick_chunk_spp(
-        spp, width * height, count, opts.max_depth,
+        spp, width * height, scene.count, opts.max_depth,
         opts.russian_roulette_depth,
     )
     acc = None
     offset = 0
     while offset < spp:
         cs = min(chunk, spp - offset)
-        if clustered and variant == "culled":
-            from raytracer_tpu.render.culled_kernel import render_chunk_culled
-
-            out = render_chunk_culled(
-                scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret, scene.group,
-            )
-        elif clustered and variant == "clustered":
-            out = _render_chunk_clustered(
-                scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret, scene.group,
-            )
-        else:
-            base = scene.scene if clustered else scene
-            chunk_fn = _render_chunk_mxu if variant == "mxu" else _render_chunk
-            out = chunk_fn(
-                base, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret,
-            )
+        out = _render_chunk(
+            scene, dcam, seed, offset, width, height, cs, opts, r_sub,
+            interpret,
+        )
         acc = out if acc is None else acc + out
         offset += cs
     image, segments = _finalize(acc, width, height, spp, opts.gamma, r_sub)
@@ -1436,12 +664,8 @@ def _render_pallas(
     return image
 
 
-def _is_concrete(scene: Scene) -> bool:
-    return not isinstance(scene.center, jax.core.Tracer)
-
-
 def render_image_pallas(
-    scene,  # Scene | ClusteredScene
+    scene: Scene,
     dcam: DerivedCamera,
     width: int,
     height: int,
@@ -1451,37 +675,18 @@ def render_image_pallas(
     debug=None,
     return_stats: bool = False,
     r_sub: int = DEFAULT_R_SUB,
-    variant: str = "flat",  # 'flat' (default) | 'mxu' | 'clustered'
 ):
     """Pallas megakernel render.
 
-    Accepts a plain :class:`Scene` or a pre-built
-    :class:`~raytracer_tpu.scene.accel.ClusteredScene`. Large concrete
-    scenes are clustered automatically (build once per scene, host-side);
-    traced scenes (inside an outer jit) use the flat kernel unless the
-    caller pre-clustered. Debug-AOV renders fall back to the jnp tracer
-    (cursor marker / selection outline need picking state).
+    Debug-AOV renders fall back to the jnp tracer (cursor marker /
+    selection outline need picking state).
     """
-    from raytracer_tpu.scene import accel
-
     if opts.enable_debug:
         from raytracer_tpu.render.tracer import render_image_jnp
 
-        base = scene.scene if isinstance(scene, accel.ClusteredScene) else scene
         return render_image_jnp(
-            base, dcam, width, height, spp, key, opts, debug,
+            scene, dcam, width, height, spp, key, opts, debug,
             return_stats=return_stats,
-        )
-    if (
-        variant in ("clustered", "culled")
-        and not isinstance(scene, accel.ClusteredScene)
-        and scene.count >= CLUSTER_THRESHOLD
-        and _is_concrete(scene)
-    ):
-        from raytracer_tpu.render.culled_kernel import CULL_GROUP
-
-        scene = accel.build_clustered(
-            scene, group=CULL_GROUP if variant == "culled" else 16
         )
     interpret = jax.default_backend() != "tpu"
     # small tiles for small images
@@ -1489,5 +694,5 @@ def render_image_pallas(
         r_sub //= 2
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
-        interpret, variant,
+        interpret,
     )
