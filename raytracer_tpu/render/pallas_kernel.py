@@ -12,10 +12,16 @@ Design notes (vs. both the GLSL kernel and the plain-jnp tracer):
   owns TILE = R_SUB*128 pixels and runs all spp samples and bounces for
   them. Ray state is SoA f32 registers (ox, oy, oz, dx, ...), never (N, 3)
   arrays, so every op is a full-width VPU op.
-- The bounce loop is a ``while_loop`` gated on "any lane still alive":
-  tiles whose rays all terminated (sky/absorb) exit early. This is the TPU
-  analog of SIMT warp retirement — the GLSL kernel's per-thread ``return``
-  (shader.frag:310/328/334) becomes per-tile early exit + per-lane masks.
+- ONE ``while_loop`` serves every (sample, bounce) of the tile with PATH
+  REGENERATION: a lane whose path terminates (sky/absorb/RR/depth) folds
+  its contribution into a per-lane accumulator and immediately starts its
+  next sample in place, so the vector unit always runs near-full of live
+  rays. This is the TPU analog of SIMT occupancy — the GLSL kernel's
+  per-thread ``return`` (shader.frag:310/328/334) becomes per-lane masks,
+  and the fixed-width penalty of waiting out the deepest of 1024 lanes
+  per sample (live fraction measured 100/85/37/20/11 % at bounces 0-4 on
+  the cover scene) disappears. RNG counters per (pixel, sample, bounce)
+  are unchanged, so the image is bitwise-identical to a per-sample loop.
 - The closest-hit scan is vectorized over BOTH rays and spheres: the scene
   is a (S_pad, 12) VMEM column table, spheres broadcast on sublanes against
   each 128-ray lane row, and the closest hit is a sublane min-reduction —
@@ -128,9 +134,7 @@ def _make_kernel(
     dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
 
     def kernel(uni_ref, seed_ref, sph_ref, prm_ref, out_ref, gat_ref):
-        # seed_ref: (2,) i32 = [hash seed, global sample offset] — spp is
-        # split across launches to bound per-kernel runtime; the offset keeps
-        # every sample's RNG stream globally unique
+        # seed_ref: (3,) i32 = [hash seed, global sample offset, row offset]
         # prm_ref: (16, S_pad) transposed parameter table for the MXU gather
         # gat_ref: (16, r_sub, LANES) VMEM scratch — per-row gather results
         # land here so the per-param planes read back as canonical
@@ -160,12 +164,10 @@ def _make_kernel(
         s_cy = sph_ref[:, 1:2]
         s_cz = sph_ref[:, 2:3]
         s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
-        s_act = sph_ref[:, 11:12]
 
         # RECTANGULAR tiles: each grid step owns an (r_sub x LANES)-pixel
-        # block, not a full-width strip — spatially compact tiles let the
-        # bounce while_loop exit early on tiles whose rays all terminate
-        # (deep glass paths stall only the tiles that contain glass)
+        # block, not a full-width strip — spatially compact tiles keep the
+        # regeneration loop short on tiles whose pixels all converge early
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
         ipx = (t % tiles_x) * LANES + lane_ids
@@ -182,15 +184,19 @@ def _make_kernel(
         in_image = ((ipx < width) & (ipy < height)).astype(jnp.float32)
 
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
+        one = jnp.ones((r_sub, LANES), jnp.float32)
 
-        def sample_body(s, carry):
-            acc_r, acc_g, acc_b, segs = carry
-            ctr0 = (sample_offset + s) * draws_per_sample
+        def gen_ray(s_f):
+            """Camera ray for per-lane sample index ``s_f`` (f32, exact int).
 
-            # sub-pixel jitter (shader.frag:365-369): st + u01/(w,h)
+            Identical math and RNG counters to the per-sample generation of
+            the pre-regeneration kernel: draws 0-3 of the sample's counter
+            block (shader.frag:342-351, 365-369)."""
+            ctr0 = (
+                (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
+            )
             st_s = (px + 0.5 + _u01(pix, ctr0, 0)) * inv_w
             st_t = (py + 0.5 + _u01(pix, ctr0, 1)) * inv_h
-            # thin-lens offset (shader.frag:342-350)
             ang = _u01(pix, ctr0, 2) * TWO_PI
             rad = lens_radius * jnp.sqrt(_u01(pix, ctr0, 3))
             rdx = rad * jnp.cos(ang)
@@ -198,255 +204,293 @@ def _make_kernel(
             offx = ux * rdx + vvx * rdy
             offy = uy * rdx + vvy * rdy
             offz = uz * rdx + vvz * rdy
-
             ox = ox0 + offx
             oy = oy0 + offy
             oz = oz0 + offz
             dx = llx + st_s * hx + st_t * vx - ox
             dy = lly + st_s * hy + st_t * vy - oy
             dz = llz + st_s * hz + st_t * vz - oz
+            return ox, oy, oz, dx, dy, dz
 
-            # bounce loop state
-            cr = jnp.ones((r_sub, LANES), jnp.float32)
-            cg = jnp.ones((r_sub, LANES), jnp.float32)
-            cb = jnp.ones((r_sub, LANES), jnp.float32)
-            rr, rg, rb = zero, zero, zero
-            # alive mask carried as f32: Mosaic can't carry i1 vectors
-            # through while_loop (i8->i1 trunci is unsupported)
-            alive = in_image
+        # --- PATH REGENERATION -------------------------------------------
+        # One while_loop serves every (sample, bounce) of the tile: when a
+        # lane's path terminates (sky / absorb / RR kill / depth exhausted)
+        # its contribution is folded into the per-lane accumulator and the
+        # lane immediately starts its NEXT sample in place. The GLSL kernel
+        # gets this for free from SIMT occupancy; for the TPU's fixed
+        # (r_sub, LANES) vector shape it is the difference between paying
+        # for max-depth-of-1024-lanes per sample and paying E[depth] —
+        # measured live-lane fraction on the cover scene is 100/85/37/20/11%
+        # at bounces 0-4, so the non-regenerating spp-loop wasted 3-5x.
+        # Per-lane sample/bounce counters are carried as f32 (exact for the
+        # magnitudes involved; Mosaic while-carries of int vectors are the
+        # pitfall this sidesteps). RNG draw counters per (pixel, sample,
+        # bounce) are unchanged, so output is BITWISE identical to the
+        # pre-regeneration kernel.
+        s_f0 = zero
+        ox, oy, oz, dx, dy, dz = gen_ray(s_f0)
 
-            def bounce_cond(state):
-                i = state[0]
-                alive = state[13]
-                return jnp.logical_and(i < max_depth, jnp.max(alive) > 0.0)
+        def live_cond(state):
+            alive = state[14]
+            return jnp.max(alive) > 0.0
 
-            def bounce_body(state):
-                (i, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive, segs) = state
-                ctr = ctr0 + 4 + i * draws_per_bounce
-
-                segs = segs + jnp.sum(alive)
-                alive_b = alive > 0.0
-
-                # --- closest-hit scan (shader.frag:145-196), vectorized ---
-                # Spheres live on SUBLANES, rays on LANES: each row of 128
-                # rays is tested against all S_pad spheres as one (S_pad,128)
-                # vector computation, and the closest hit is a sublane-axis
-                # min-reduction. No scalar loops — full VPU width always.
-                #
-                # Equivalence to the sequential shrinking-t_max scan: a
-                # sphere whose near root exceeds the eventual minimum loses
-                # the min anyway, and the near→far fallback only depends on
-                # t_min; so min-over-candidates == the sequential result
-                # (ties: lowest index wins here, last-tested wins in the
-                # reference — indistinguishable in practice).
-                a = _dot3(dx, dy, dz, dx, dy, dz)
-                inv_a = 1.0 / a
-                o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
-                o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
-
-                # scan in q = t·|d|² space: a > 0 is constant per ray, so
-                # argmin over q equals argmin over t and the two per-sphere
-                # divisions (root·inv_a) collapse into one per-row multiply
-                min_t_a = MIN_T * a
-                max_t_a = MAX_T * a
-                bt_rows = []
-                for row in range(r_sub):
-                    dxr = dx[row : row + 1]
-                    dyr = dy[row : row + 1]
-                    dzr = dz[row : row + 1]
-                    oxr = ox[row : row + 1]
-                    oyr = oy[row : row + 1]
-                    ozr = oz[row : row + 1]
-                    a_r = a[row : row + 1]
-                    inv_a_r = inv_a[row : row + 1]
-                    odd_r = o_dot_d[row : row + 1]
-                    ooo_r = o_dot_o[row : row + 1]
-                    min_q = min_t_a[row : row + 1]
-                    max_q = max_t_a[row : row + 1]
-
-                    c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
-                    c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
-                    half_b = odd_r - c_dot_d
-                    c_coef = ooo_r - 2.0 * c_dot_o + s_k1
-                    disc = half_b * half_b - a_r * c_coef
-                    # disc < 0 ⇒ poison sq to -3e38 so both roots fall below
-                    # min_q (saves a separate disc>=0 term). Inactive slots
-                    # are encoded unhittable in the table (center=0, k1=+1 ⇒
-                    # disc < 0 by Cauchy-Schwarz), so no active test either.
-                    sq = jnp.where(
-                        disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
-                    )
-                    q_near = -half_b - sq
-                    q_far = -half_b + sq
-                    q = jnp.where(q_near >= min_q, q_near, q_far)
-                    valid = (q >= min_q) & (q <= max_q)
-                    cand = jnp.where(valid, q, jnp.float32(3e38))
-                    bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
-                    bt_rows.append(bq * inv_a_r)
-                    # one-hot winner mask (ties: both fire — only on exactly
-                    # coincident surfaces; masked to zero when no hit).
-                    # HIGHEST precision: exact f32 (Mosaic supports only
-                    # DEFAULT — lossy bf16 truncation of the params — and
-                    # HIGHEST)
-                    oh = ((cand == bq) & (cand < 1e37)).astype(jnp.float32)
-                    gat_ref[:, row, :] = jax.lax.dot_general(
-                        prm_ref[:, :], oh, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-
-                best_t = jnp.concatenate(bt_rows, axis=0)
-                # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
-                # the viewport basis, fill/|d|² stays astronomically above
-                # MAX_T; detect via t, NOT via the one-hot (an all-fill
-                # column ties at the fill value)
-                hit = best_t < jnp.float32(1e20)
-                best_t = jnp.where(hit, best_t, MAX_T)
-                scx = gat_ref[0]
-                scy = gat_ref[1]
-                scz = gat_ref[2]
-                inv_r = gat_ref[3]
-                mat = gat_ref[4]
-                al_r = gat_ref[5]
-                al_g = gat_ref[6]
-                al_b = gat_ref[7]
-                fuzz = gat_ref[8]
-                refr = gat_ref[9]
-
-                # hit point + front-face-corrected normal (shader.frag:166-171)
-                hpx = ox + best_t * dx
-                hpy = oy + best_t * dy
-                hpz = oz + best_t * dz
-                nx = (hpx - scx) * inv_r
-                ny = (hpy - scy) * inv_r
-                nz = (hpz - scz) * inv_r
-                front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-
-                # --- scatter (shader.frag:210-286), branch-free ---
-                uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
-                usx, usy, usz = _unit_sphere(pix, ctr, 3)
-                glass_u = _u01(pix, ctr, 6)
-
-                # DIFFUSE
-                ddx = nx + uvx
-                ddy = ny + uvy
-                ddz = nz + uvz
-                if opts.near_zero_guard:
-                    nz_mask = (
-                        (jnp.abs(ddx) < 1e-8)
-                        & (jnp.abs(ddy) < 1e-8)
-                        & (jnp.abs(ddz) < 1e-8)
-                    )
-                    ddx = jnp.where(nz_mask, nx, ddx)
-                    ddy = jnp.where(nz_mask, ny, ddy)
-                    ddz = jnp.where(nz_mask, nz, ddz)
-
-                # METAL: reflect + fuzz
-                d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
-                mdx = dx - 2.0 * d_dot_n * nx + fuzz * usx
-                mdy = dy - 2.0 * d_dot_n * ny + fuzz * usy
-                mdz = dz - 2.0 * d_dot_n * nz + fuzz * usz
-                metal_ok = _dot3(nx, ny, nz, mdx, mdy, mdz) > 0.0
-
-                # GLASS: Snell + TIR + Schlick roulette
-                ratio = jnp.where(front, 1.0 / refr, refr)
-                udx, udy, udz = _normalize3(dx, dy, dz)
-                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                cannot = ratio * sin_t > 1.0
-                r0 = (1.0 - ratio) / (1.0 + ratio)
-                r0 = r0 * r0
-                one_m = 1.0 - cos_t
-                one_m2 = one_m * one_m
-                schlick = r0 + (1.0 - r0) * one_m2 * one_m2 * one_m
-                reflects = jnp.logical_or(cannot, schlick > glass_u)
-                # refract (unit dir): perp = ratio*(ud + cos*n); par = -sqrt(k)*n
-                rpx = ratio * (udx + cos_t * nx)
-                rpy = ratio * (udy + cos_t * ny)
-                rpz = ratio * (udz + cos_t * nz)
-                k = jnp.maximum(0.0, 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
-                sk = jnp.sqrt(k)
-                refx = rpx - sk * nx
-                refy = rpy - sk * ny
-                refz = rpz - sk * nz
-                # reflect of unit dir
-                ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                grx = udx - 2.0 * ud_dot_n * nx
-                gry = udy - 2.0 * ud_dot_n * ny
-                grz = udz - 2.0 * ud_dot_n * nz
-                gdx = jnp.where(reflects, grx, refx)
-                gdy = jnp.where(reflects, gry, refy)
-                gdz = jnp.where(reflects, grz, refz)
-
-                is_diffuse = mat < 0.5
-                is_metal = jnp.logical_and(mat >= 0.5, mat < 1.5)
-                is_glass = jnp.logical_and(mat >= 1.5, mat < 2.5)
-                ndx = jnp.where(is_diffuse, ddx, jnp.where(is_metal, mdx, gdx))
-                ndy = jnp.where(is_diffuse, ddy, jnp.where(is_metal, mdy, gdy))
-                ndz = jnp.where(is_diffuse, ddz, jnp.where(is_metal, mdz, gdz))
-                # pure boolean algebra — select_n over i1 vectors doesn't
-                # lower in Mosaic (i8->i1 trunci)
-                did_scatter = is_diffuse | (is_metal & metal_ok) | is_glass
-
-                # --- sky on miss (shader.frag:289-294, 331-335) ---
-                miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
-                sky_t = 0.5 * (udy + 1.0)
-                sky_r = 1.0 - 0.5 * sky_t
-                sky_g = 1.0 - 0.3 * sky_t
-                sky_b = jnp.ones_like(sky_t)
-                rr = jnp.where(miss, cr * sky_r, rr)
-                rg = jnp.where(miss, cg * sky_g, rg)
-                rb = jnp.where(miss, cb * sky_b, rb)
-
-                scat = alive_b & hit & did_scatter
-                cr = jnp.where(scat, cr * al_r, cr)
-                cg = jnp.where(scat, cg * al_g, cg)
-                cb = jnp.where(scat, cb * al_b, cb)
-                ox = jnp.where(scat, hpx, ox)
-                oy = jnp.where(scat, hpy, oy)
-                oz = jnp.where(scat, hpz, oz)
-                dx = jnp.where(scat, ndx, dx)
-                dy = jnp.where(scat, ndy, dy)
-                dz = jnp.where(scat, ndz, dz)
-                if opts.russian_roulette_depth > 0:
-                    # unbiased termination: survive with p = max(throughput)
-                    p_surv = jnp.clip(
-                        jnp.maximum(cr, jnp.maximum(cg, cb)), 0.05, 1.0
-                    )
-                    u = _u01(pix, ctr, 7)
-                    roll = i >= opts.russian_roulette_depth
-                    # boolean algebra, not select_n over i1 (Mosaic can't)
-                    survive = jnp.logical_or(
-                        jnp.logical_not(roll), u < p_surv
-                    )
-                    boost = jnp.where(roll & survive & scat, 1.0 / p_surv, 1.0)
-                    cr = cr * boost
-                    cg = cg * boost
-                    cb = cb * boost
-                    scat = scat & survive
-                return (i + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                        rr, rg, rb, scat.astype(jnp.float32), segs)
-
-            (_, _, _, _, _, _, _, cr, cg, cb, rr, rg, rb, alive,
-             segs) = jax.lax.while_loop(
-                bounce_cond,
-                bounce_body,
-                (jnp.int32(0), ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                 rr, rg, rb, alive, segs),
+        def body(state):
+            (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+             acc_r, acc_g, acc_b, s_f, i_f, alive, segs) = state
+            ctr0 = (
+                (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
             )
-            # depth exhausted (shader.frag:338 vs book)
-            if not opts.exhaust_black:
-                alive_b = alive > 0.0
-                rr = jnp.where(alive_b, cr, rr)
-                rg = jnp.where(alive_b, cg, rg)
-                rb = jnp.where(alive_b, cb, rb)
-            return acc_r + rr, acc_g + rg, acc_b + rb, segs
+            ctr = ctr0 + 4 + i_f.astype(jnp.int32) * draws_per_bounce
 
-        acc_r, acc_g, acc_b, segs = jax.lax.fori_loop(
-            0, spp, sample_body, (zero, zero, zero, jnp.float32(0.0))
+            segs = segs + jnp.sum(alive)
+            alive_b = alive > 0.0
+
+            # --- closest-hit scan (shader.frag:145-196), vectorized ---
+            # Spheres live on SUBLANES, rays on LANES: each row of 128
+            # rays is tested against all S_pad spheres as one (S_pad,128)
+            # vector computation, and the closest hit is a sublane-axis
+            # min-reduction. No scalar loops — full VPU width always.
+            #
+            # Equivalence to the sequential shrinking-t_max scan: a
+            # sphere whose near root exceeds the eventual minimum loses
+            # the min anyway, and the near→far fallback only depends on
+            # t_min; so min-over-candidates == the sequential result
+            # (ties: lowest index wins here, last-tested wins in the
+            # reference — indistinguishable in practice).
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            o_dot_d = _dot3(ox, oy, oz, dx, dy, dz)
+            o_dot_o = _dot3(ox, oy, oz, ox, oy, oz)
+
+            # scan in q = t·|d|² space: a > 0 is constant per ray, so
+            # argmin over q equals argmin over t and the two per-sphere
+            # divisions (root·inv_a) collapse into one per-row multiply
+            min_t_a = MIN_T * a
+            max_t_a = MAX_T * a
+            bt_rows = []
+            for row in range(r_sub):
+                dxr = dx[row : row + 1]
+                dyr = dy[row : row + 1]
+                dzr = dz[row : row + 1]
+                oxr = ox[row : row + 1]
+                oyr = oy[row : row + 1]
+                ozr = oz[row : row + 1]
+                a_r = a[row : row + 1]
+                inv_a_r = inv_a[row : row + 1]
+                odd_r = o_dot_d[row : row + 1]
+                ooo_r = o_dot_o[row : row + 1]
+                min_q = min_t_a[row : row + 1]
+                max_q = max_t_a[row : row + 1]
+
+                c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
+                c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
+                half_b = odd_r - c_dot_d
+                c_coef = ooo_r - 2.0 * c_dot_o + s_k1
+                disc = half_b * half_b - a_r * c_coef
+                # disc < 0 ⇒ poison sq to -3e38 so both roots fall below
+                # min_q (saves a separate disc>=0 term). Inactive slots
+                # are encoded unhittable in the table (center=0, k1=+1 ⇒
+                # disc < 0 by Cauchy-Schwarz), so no active test either.
+                sq = jnp.where(
+                    disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
+                )
+                q_near = -half_b - sq
+                q_far = -half_b + sq
+                q = jnp.where(q_near >= min_q, q_near, q_far)
+                valid = (q >= min_q) & (q <= max_q)
+                cand = jnp.where(valid, q, jnp.float32(3e38))
+                bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
+                bt_rows.append(bq * inv_a_r)
+                # one-hot winner mask (ties: both fire — only on exactly
+                # coincident surfaces; masked to zero when no hit).
+                # HIGHEST precision: exact f32 (Mosaic supports only
+                # DEFAULT — lossy bf16 truncation of the params — and
+                # HIGHEST)
+                oh = ((cand == bq) & (cand < 1e37)).astype(jnp.float32)
+                gat_ref[:, row, :] = jax.lax.dot_general(
+                    prm_ref[:, :], oh, dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            best_t = jnp.concatenate(bt_rows, axis=0)
+            # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
+            # the viewport basis, fill/|d|² stays astronomically above
+            # MAX_T; detect via t, NOT via the one-hot (an all-fill
+            # column ties at the fill value)
+            hit = best_t < jnp.float32(1e20)
+            best_t = jnp.where(hit, best_t, MAX_T)
+            scx = gat_ref[0]
+            scy = gat_ref[1]
+            scz = gat_ref[2]
+            inv_r = gat_ref[3]
+            mat = gat_ref[4]
+            al_r = gat_ref[5]
+            al_g = gat_ref[6]
+            al_b = gat_ref[7]
+            fuzz = gat_ref[8]
+            refr = gat_ref[9]
+
+            # hit point + front-face-corrected normal (shader.frag:166-171)
+            hpx = ox + best_t * dx
+            hpy = oy + best_t * dy
+            hpz = oz + best_t * dz
+            nx = (hpx - scx) * inv_r
+            ny = (hpy - scy) * inv_r
+            nz = (hpz - scz) * inv_r
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+            # --- scatter (shader.frag:210-286), branch-free ---
+            uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
+            usx, usy, usz = _unit_sphere(pix, ctr, 3)
+            glass_u = _u01(pix, ctr, 6)
+
+            # DIFFUSE
+            ddx = nx + uvx
+            ddy = ny + uvy
+            ddz = nz + uvz
+            if opts.near_zero_guard:
+                nz_mask = (
+                    (jnp.abs(ddx) < 1e-8)
+                    & (jnp.abs(ddy) < 1e-8)
+                    & (jnp.abs(ddz) < 1e-8)
+                )
+                ddx = jnp.where(nz_mask, nx, ddx)
+                ddy = jnp.where(nz_mask, ny, ddy)
+                ddz = jnp.where(nz_mask, nz, ddz)
+
+            # METAL: reflect + fuzz
+            d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+            mdx = dx - 2.0 * d_dot_n * nx + fuzz * usx
+            mdy = dy - 2.0 * d_dot_n * ny + fuzz * usy
+            mdz = dz - 2.0 * d_dot_n * nz + fuzz * usz
+            metal_ok = _dot3(nx, ny, nz, mdx, mdy, mdz) > 0.0
+
+            # GLASS: Snell + TIR + Schlick roulette
+            ratio = jnp.where(front, 1.0 / refr, refr)
+            udx, udy, udz = _normalize3(dx, dy, dz)
+            cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ratio * sin_t > 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            one_m = 1.0 - cos_t
+            one_m2 = one_m * one_m
+            schlick = r0 + (1.0 - r0) * one_m2 * one_m2 * one_m
+            reflects = jnp.logical_or(cannot, schlick > glass_u)
+            # refract (unit dir): perp = ratio*(ud + cos*n); par = -sqrt(k)*n
+            rpx = ratio * (udx + cos_t * nx)
+            rpy = ratio * (udy + cos_t * ny)
+            rpz = ratio * (udz + cos_t * nz)
+            k = jnp.maximum(0.0, 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
+            sk = jnp.sqrt(k)
+            refx = rpx - sk * nx
+            refy = rpy - sk * ny
+            refz = rpz - sk * nz
+            # reflect of unit dir
+            ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+            grx = udx - 2.0 * ud_dot_n * nx
+            gry = udy - 2.0 * ud_dot_n * ny
+            grz = udz - 2.0 * ud_dot_n * nz
+            gdx = jnp.where(reflects, grx, refx)
+            gdy = jnp.where(reflects, gry, refy)
+            gdz = jnp.where(reflects, grz, refz)
+
+            is_diffuse = mat < 0.5
+            is_metal = jnp.logical_and(mat >= 0.5, mat < 1.5)
+            is_glass = jnp.logical_and(mat >= 1.5, mat < 2.5)
+            ndx = jnp.where(is_diffuse, ddx, jnp.where(is_metal, mdx, gdx))
+            ndy = jnp.where(is_diffuse, ddy, jnp.where(is_metal, mdy, gdy))
+            ndz = jnp.where(is_diffuse, ddz, jnp.where(is_metal, mdz, gdz))
+            # pure boolean algebra — select_n over i1 vectors doesn't
+            # lower in Mosaic (i8->i1 trunci)
+            did_scatter = is_diffuse | (is_metal & metal_ok) | is_glass
+
+            # --- terminations and continuations -------------------------
+            miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
+            scat = alive_b & hit & did_scatter
+
+            # sky on miss (shader.frag:289-294, 331-335) — throughput
+            # BEFORE this bounce's albedo, as in the bounce-loop original
+            udy_sky = udy
+            sky_t = 0.5 * (udy_sky + 1.0)
+            sky_r = 1.0 - 0.5 * sky_t
+            sky_g = 1.0 - 0.3 * sky_t
+            sky_b = jnp.ones_like(sky_t)
+            con_r = jnp.where(miss, cr * sky_r, zero)
+            con_g = jnp.where(miss, cg * sky_g, zero)
+            con_b = jnp.where(miss, cb * sky_b, zero)
+
+            cr = jnp.where(scat, cr * al_r, cr)
+            cg = jnp.where(scat, cg * al_g, cg)
+            cb = jnp.where(scat, cb * al_b, cb)
+            if opts.russian_roulette_depth > 0:
+                # unbiased termination: survive with p = max(throughput)
+                p_surv = jnp.clip(
+                    jnp.maximum(cr, jnp.maximum(cg, cb)), 0.05, 1.0
+                )
+                u = _u01(pix, ctr, 7)
+                roll = i_f >= opts.russian_roulette_depth
+                # boolean algebra, not select_n over i1 (Mosaic can't)
+                survive = jnp.logical_or(
+                    jnp.logical_not(roll), u < p_surv
+                )
+                boost = jnp.where(roll & survive & scat, 1.0 / p_surv, 1.0)
+                cr = cr * boost
+                cg = cg * boost
+                cb = cb * boost
+                scat = scat & survive
+
+            # per-lane depth exhaustion (shader.frag:338 quirk): a lane
+            # completing bounce max_depth-1 ends its sample; the reference
+            # returns the accumulated throughput, the book returns black
+            exhausted = scat & (i_f >= jnp.float32(max_depth - 1))
+            if not opts.exhaust_black:
+                con_r = jnp.where(exhausted, cr, con_r)
+                con_g = jnp.where(exhausted, cg, con_g)
+                con_b = jnp.where(exhausted, cb, con_b)
+            scat_cont = scat & jnp.logical_not(exhausted)
+
+            acc_r = acc_r + con_r
+            acc_g = acc_g + con_g
+            acc_b = acc_b + con_b
+
+            # regeneration: terminated lanes with samples remaining start
+            # the next sample this iteration; everyone else keeps bouncing
+            done = alive_b & jnp.logical_not(scat_cont)
+            s_f = s_f + done.astype(jnp.float32)
+            regen = done & (s_f < jnp.float32(spp)) & (in_image > 0.0)
+            nox, noy, noz, ndx2, ndy2, ndz2 = gen_ray(s_f)
+
+            ox = jnp.where(scat_cont, hpx, ox)
+            oy = jnp.where(scat_cont, hpy, oy)
+            oz = jnp.where(scat_cont, hpz, oz)
+            dx = jnp.where(scat_cont, ndx, dx)
+            dy = jnp.where(scat_cont, ndy, dy)
+            dz = jnp.where(scat_cont, ndz, dz)
+            ox = jnp.where(regen, nox, ox)
+            oy = jnp.where(regen, noy, oy)
+            oz = jnp.where(regen, noz, oz)
+            dx = jnp.where(regen, ndx2, dx)
+            dy = jnp.where(regen, ndy2, dy)
+            dz = jnp.where(regen, ndz2, dz)
+            cr = jnp.where(regen, one, cr)
+            cg = jnp.where(regen, one, cg)
+            cb = jnp.where(regen, one, cb)
+            i_f = jnp.where(scat_cont, i_f + 1.0, i_f)
+            i_f = jnp.where(regen, zero, i_f)
+            alive = (scat_cont | regen).astype(jnp.float32)
+
+            return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                    acc_r, acc_g, acc_b, s_f, i_f, alive, segs)
+
+        init = (ox, oy, oz, dx, dy, dz, one, one, one,
+                zero, zero, zero, s_f0, zero, in_image, jnp.float32(0.0))
+        (_, _, _, _, _, _, _, _, _,
+         acc_r, acc_g, acc_b, _, _, _, segs) = jax.lax.while_loop(
+            live_cond, body, init
         )
         # emit LINEAR SUMS; scaling + gamma happen in the host-side finalize
         # so spp chunks can be accumulated across launches
@@ -458,7 +502,6 @@ def _make_kernel(
         out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
 
     return kernel
-
 
 
 def _params_table_t(scene: Scene) -> jnp.ndarray:
@@ -622,9 +665,11 @@ def _pick_chunk_spp(
     """Bound one launch's work so long renders never trip the device
     watchdog (~multi-second kernels fault): target ~6e10 ray-sphere tests
     per launch ≈ 2-3 s of kernel time, amortizing the ~50-90 ms per-launch
-    dispatch latency through the device tunnel. Russian roulette caps the
-    effective tile depth, so RR renders take larger chunks."""
-    eff_depth = min(max_depth, max(rr_depth + 2, 4)) if rr_depth else min(max_depth, 6)
+    dispatch latency through the device tunnel. With path regeneration a
+    launch's iteration count tracks E[path depth] (~3 on the cover scene),
+    not the max depth over the tile, so the model uses a flat effective
+    depth; ``rr_depth`` shaves the deep-tail residue a little further."""
+    eff_depth = min(max_depth, 3 if rr_depth else 4)
     per_sample = p * eff_depth * max(s_count, 1)
     return max(1, min(spp, int(6e10 // max(per_sample, 1))))
 
