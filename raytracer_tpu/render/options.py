@@ -40,6 +40,12 @@ class TraceOptions:
     #: 1/p — unbiased Russian roulette (beyond the reference/book-1; cuts
     #: the deep glass tail that dominates high-depth renders)
     russian_roulette_depth: int = 0
+    #: profile-guided load balancing for multi-chunk Pallas renders: the
+    #: first spp chunk doubles as a per-pixel path-cost profile, and later
+    #: chunks render pixels re-packed so expensive pixels share tiles
+    #: (a tile runs until its most expensive lane finishes; sorting turns
+    #: the per-tile max into ≈ the mean). Bitwise-identical output.
+    sort_pixels: bool = True
 
 
 @flax.struct.dataclass

@@ -124,6 +124,7 @@ def _make_kernel(
     height: int,
     opts: TraceOptions,
     tiles_x: int,
+    permuted: bool = False,
 ):
     inv_w = 1.0 / width
     inv_h = 1.0 / height
@@ -133,7 +134,11 @@ def _make_kernel(
 
     dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
 
-    def kernel(uni_ref, seed_ref, sph_ref, prm_ref, out_ref, gat_ref):
+    def kernel(uni_ref, seed_ref, sph_ref, prm_ref, *rest):
+        if permuted:
+            pix_ref, out_ref, gat_ref = rest
+        else:
+            out_ref, gat_ref = rest
         # seed_ref: (3,) i32 = [hash seed, global sample offset, row offset]
         # prm_ref: (16, S_pad) transposed parameter table for the MXU gather
         # gat_ref: (16, r_sub, LANES) VMEM scratch — per-row gather results
@@ -165,13 +170,22 @@ def _make_kernel(
         s_cz = sph_ref[:, 2:3]
         s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
 
-        # RECTANGULAR tiles: each grid step owns an (r_sub x LANES)-pixel
-        # block, not a full-width strip — spatially compact tiles keep the
-        # regeneration loop short on tiles whose pixels all converge early
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
-        ipx = (t % tiles_x) * LANES + lane_ids
-        ipy = row_offset + (t // tiles_x) * r_sub + row_ids
+        if permuted:
+            # profile-guided layout: the host assigns each lane an arbitrary
+            # pixel (expensive pixels packed into the same tiles so a tile's
+            # max-lane wait ≈ its mean); everything downstream — RNG hash,
+            # camera st, crop mask — derives from the same (ipx, ipy), so
+            # per-pixel results are bitwise-independent of placement
+            ipx = pix_ref[0, 0]
+            ipy = pix_ref[0, 1]
+        else:
+            # RECTANGULAR tiles: each grid step owns an (r_sub x LANES)-pixel
+            # block, not a full-width strip — spatially compact tiles keep the
+            # regeneration loop short on tiles whose pixels all converge early
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
+            ipx = (t % tiles_x) * LANES + lane_ids
+            ipy = row_offset + (t // tiles_x) * r_sub + row_ids
         gid = ipy * (tiles_x * LANES) + ipx
         # fold the frame/key seed into the pixel hash key
         pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
@@ -236,13 +250,15 @@ def _make_kernel(
 
         def body(state):
             (ox, oy, oz, dx, dy, dz, cr, cg, cb,
-             acc_r, acc_g, acc_b, s_f, i_f, alive, segs) = state
+             acc_r, acc_g, acc_b, s_f, i_f, alive, cost, segs) = state
             ctr0 = (
                 (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
             )
             ctr = ctr0 + 4 + i_f.astype(jnp.int32) * draws_per_bounce
 
             segs = segs + jnp.sum(alive)
+            # per-lane path cost: the profile that drives pixel sorting
+            cost = cost + alive
             alive_b = alive > 0.0
 
             # --- closest-hit scan (shader.frag:145-196), vectorized ---
@@ -484,12 +500,13 @@ def _make_kernel(
             alive = (scat_cont | regen).astype(jnp.float32)
 
             return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                    acc_r, acc_g, acc_b, s_f, i_f, alive, segs)
+                    acc_r, acc_g, acc_b, s_f, i_f, alive, cost, segs)
 
         init = (ox, oy, oz, dx, dy, dz, one, one, one,
-                zero, zero, zero, s_f0, zero, in_image, jnp.float32(0.0))
+                zero, zero, zero, s_f0, zero, in_image, zero,
+                jnp.float32(0.0))
         (_, _, _, _, _, _, _, _, _,
-         acc_r, acc_g, acc_b, _, _, _, segs) = jax.lax.while_loop(
+         acc_r, acc_g, acc_b, _, _, _, cost, segs) = jax.lax.while_loop(
             live_cond, body, init
         )
         # emit LINEAR SUMS; scaling + gamma happen in the host-side finalize
@@ -500,6 +517,8 @@ def _make_kernel(
         # channel 3 carries this tile's segment count (scalar, broadcast) —
         # SMEM (1,1) output blocks aren't supported by the TPU lowering
         out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
+        # channel 4: per-lane path cost (live iterations) for sorting
+        out_ref[0, 4] = cost
 
     return kernel
 
@@ -604,40 +623,51 @@ def _render_chunk(
     interpret: bool,
     local_height: int | None = None,
     row_offset=0,
+    pixel_map=None,
 ):
-    """One kernel launch tracing chunk_spp samples; returns (nt,4,r,l)
-    linear color sums + per-tile segment counts in channel 3. Tiles are
-    rectangular (r_sub x LANES)-pixel blocks over a padded 2-D grid.
+    """One kernel launch tracing chunk_spp samples; returns (nt,5,r,l)
+    linear color sums, per-tile segment counts in channel 3, and per-lane
+    path cost in channel 4. Tiles are rectangular (r_sub x LANES)-pixel
+    blocks over a padded 2-D grid.
 
     ``local_height``/``row_offset`` render a horizontal band of the full
     image (the shard_map rows-sharded path); geometry and RNG match the
-    single-chip render exactly."""
+    single-chip render exactly. ``pixel_map`` (nt, 2, r_sub, LANES) i32
+    overrides the lane→pixel assignment (profile-guided sorting)."""
     tiles_x = pl.cdiv(width, LANES)
     tiles_y = pl.cdiv(local_height or height, r_sub)
     nt = tiles_x * tiles_y
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
-        height, opts, tiles_x,
+        height, opts, tiles_x, permuted=pixel_map is not None,
     )
     seeds = jnp.stack([
         seed,
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
     ])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, offset, row_offset]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
+    ]
+    args = [_camera_uniforms(dcam), seeds, _sphere_table(scene),
+            _params_table_t(scene)]
+    if pixel_map is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 2, r_sub, LANES), lambda i: (i, 0, 0, 0))
+        )
+        args.append(pixel_map)
     return pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, sample_offset]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
-        ],
-        out_specs=pl.BlockSpec((1, 4, r_sub, LANES), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt, 4, r_sub, LANES), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 5, r_sub, LANES), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, 5, r_sub, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((16, r_sub, LANES), jnp.float32)],
         interpret=interpret,
-    )(_camera_uniforms(dcam), seeds, _sphere_table(scene), _params_table_t(scene))
+    )(*args)
 
 
 @functools.partial(
@@ -659,19 +689,106 @@ def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
     return image, jnp.sum(acc[:, 3, 0, 0])
 
 
+def _tiles_to_flat(acc, width: int, height: int, r_sub: int):
+    """(nt, C, r_sub, LANES) tile blocks → (C, Hp·Wp) in pixel-gid order
+    (gid = ipy·Wp + ipx over the PADDED tile grid)."""
+    tiles_x = pl.cdiv(width, LANES)
+    tiles_y = pl.cdiv(height, r_sub)
+    c = acc.shape[1]
+    return (
+        acc.reshape(tiles_y, tiles_x, c, r_sub, LANES)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(c, tiles_y * r_sub * tiles_x * LANES)
+    )
+
+
+def _plan_from_cost(cost, width: int, r_sub: int):
+    """Per-pixel cumulative cost → (inv, pixel_map): pixels sorted by
+    descending measured path cost, packed into tiles in that order."""
+    order = jnp.argsort(-cost)  # expensive pixels first; padding (0) last
+    inv = jnp.argsort(order)
+    wp = pl.cdiv(width, LANES) * LANES
+    ipx = (order % wp).astype(jnp.int32)
+    ipy = (order // wp).astype(jnp.int32)
+    nt = order.shape[0] // (r_sub * LANES)
+    pixel_map = (
+        jnp.stack([ipx, ipy], axis=0)
+        .reshape(2, nt, r_sub, LANES)
+        .transpose(1, 0, 2, 3)
+    )
+    return inv, pixel_map
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "r_sub")
+)
+def _profile_to_plan(out0, width: int, height: int, r_sub: int):
+    """Turn the profiling chunk's output into the first sorted-render plan.
+
+    Returns (acc (4, Hp·Wp) pixel-space sums: rgb + cumulative cost,
+    segments scalar, inv (Hp·Wp,) inverse lane→pixel permutation,
+    pixel_map (nt, 2, r_sub, LANES) i32 per-lane [ipx, ipy] assignment)."""
+    acc = _tiles_to_flat(
+        jnp.concatenate([out0[:, :3], out0[:, 4:5]], axis=1),
+        width, height, r_sub,
+    )
+    segments = jnp.sum(out0[:, 3, 0, 0])
+    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub)
+    return acc, segments, inv, pixel_map
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "r_sub")
+)
+def _accum_and_plan(acc, segments, out, inv, width: int, r_sub: int):
+    """Fold a sorted-layout chunk into the pixel-space accumulator (lane j
+    rendered pixel order[j], so gathering by ``inv`` restores gid order)
+    and re-plan the NEXT chunk from the cumulative per-pixel cost — each
+    chunk's sort key averages every sample rendered so far, so the
+    estimator sharpens as the render progresses."""
+    flat = (
+        jnp.concatenate([out[:, :3], out[:, 4:5]], axis=1)
+        .transpose(1, 0, 2, 3)
+        .reshape(4, -1)
+    )
+    acc = acc + jnp.take(flat, inv, axis=1)
+    segments = segments + jnp.sum(out[:, 3, 0, 0])
+    inv_next, pixel_map_next = _plan_from_cost(acc[3], width, r_sub)
+    return acc, segments, inv_next, pixel_map_next
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "gamma", "r_sub")
+)
+def _finalize_flat(acc, width: int, height: int, spp: int, gamma: bool,
+                   r_sub: int):
+    """(3, Hp·Wp) pixel-space sums → (H, W, 3) image."""
+    tiles_x = pl.cdiv(width, LANES)
+    tiles_y = pl.cdiv(height, r_sub)
+    image = (
+        acc.reshape(3, tiles_y * r_sub, tiles_x * LANES)
+        .transpose(1, 2, 0)[:height, :width]
+    ) * (1.0 / spp)
+    if gamma:
+        image = jnp.sqrt(jnp.maximum(image, 0.0))
+    return image
+
+
 def _pick_chunk_spp(
     spp: int, p: int, s_count: int, max_depth: int, rr_depth: int = 0
 ) -> int:
     """Bound one launch's work so long renders never trip the device
-    watchdog (~multi-second kernels fault): target ~6e10 ray-sphere tests
-    per launch ≈ 2-3 s of kernel time, amortizing the ~50-90 ms per-launch
-    dispatch latency through the device tunnel. With path regeneration a
-    launch's iteration count tracks E[path depth] (~3 on the cover scene),
-    not the max depth over the tile, so the model uses a flat effective
-    depth; ``rr_depth`` shaves the deep-tail residue a little further."""
+    watchdog: target ~1.2e11 ray-sphere tests per launch ≈ 2 s of kernel
+    time (3.2 s measured fault-free on v5e), amortizing the ~50-90 ms
+    per-launch dispatch latency through the device tunnel. Larger chunks
+    also shrink the per-lane sample variance that limits how well
+    profile-guided pixel sorting can balance tiles. With path regeneration
+    a launch's iteration count tracks E[path depth] (~3 on the cover
+    scene), not the max depth over the tile, so the model uses a flat
+    effective depth; ``rr_depth`` shaves the deep-tail residue further."""
     eff_depth = min(max_depth, 3 if rr_depth else 4)
     per_sample = p * eff_depth * max(s_count, 1)
-    return max(1, min(spp, int(6e10 // max(per_sample, 1))))
+    return max(1, min(spp, int(1.2e11 // max(per_sample, 1))))
 
 
 def _render_pallas(
@@ -693,17 +810,48 @@ def _render_pallas(
         spp, width * height, scene.count, opts.max_depth,
         opts.russian_roulette_depth,
     )
-    acc = None
-    offset = 0
+    if spp <= chunk or not opts.sort_pixels:
+        acc = None
+        offset = 0
+        while offset < spp:
+            cs = min(chunk, spp - offset)
+            out = _render_chunk(
+                scene, dcam, seed, offset, width, height, cs, opts, r_sub,
+                interpret,
+            )
+            acc = out if acc is None else acc + out
+            offset += cs
+        image, segments = _finalize(acc, width, height, spp, opts.gamma,
+                                    r_sub)
+        if return_stats:
+            return image, {"segments": segments}
+        return image
+
+    # PROFILE-GUIDED PIXEL SORTING for multi-chunk renders: the first chunk
+    # doubles as a per-pixel path-cost profile; later chunks render pixels
+    # re-packed in descending measured cost, so each tile's lanes carry
+    # near-equal work and the per-tile max-lane wait collapses to ≈ the
+    # mean. Per-pixel math depends only on (ipx, ipy), and chunks are
+    # accumulated per pixel in the same order, so the image is bitwise
+    # identical to the unsorted render.
+    out0 = _render_chunk(
+        scene, dcam, seed, 0, width, height, chunk, opts, r_sub, interpret,
+    )
+    acc, segments, inv, pixel_map = _profile_to_plan(
+        out0, width, height, r_sub
+    )
+    offset = chunk
     while offset < spp:
         cs = min(chunk, spp - offset)
         out = _render_chunk(
             scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-            interpret,
+            interpret, pixel_map=pixel_map,
         )
-        acc = out if acc is None else acc + out
+        acc, segments, inv, pixel_map = _accum_and_plan(
+            acc, segments, out, inv, width, r_sub
+        )
         offset += cs
-    image, segments = _finalize(acc, width, height, spp, opts.gamma, r_sub)
+    image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub)
     if return_stats:
         return image, {"segments": segments}
     return image

@@ -144,3 +144,26 @@ def test_segments_accounting():
         TraceOptions(max_depth=8), return_stats=True,
     )
     assert float(stats["segments"]) == 64 * 32  # one segment per ray
+
+
+def test_sorted_multichunk_bitwise_equals_unsorted(monkeypatch):
+    """Profile-guided pixel sorting (multi-chunk renders re-pack pixels by
+    measured path cost) must not change the image by a single bit: per-pixel
+    math depends only on (ipx, ipy) and chunk accumulation order is
+    preserved."""
+    import dataclasses
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda spp, *a, **k: min(spp, 3))
+    scene, cam, *_ = presets.get_config("cover", 256, 32)
+    dcam = derive_camera(cam)
+    opts = TraceOptions(max_depth=10, russian_roulette_depth=5)
+    a, sa = pk.render_image_pallas(
+        scene, dcam, 256, 32, 10, jax.random.PRNGKey(3), opts,
+        return_stats=True,
+    )
+    b, sb = pk.render_image_pallas(
+        scene, dcam, 256, 32, 10, jax.random.PRNGKey(3),
+        dataclasses.replace(opts, sort_pixels=False), return_stats=True,
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["segments"]) == float(sb["segments"])
