@@ -140,7 +140,7 @@ def _make_kernel(
         else:
             out_ref, gat_ref = rest
         # seed_ref: (3,) i32 = [hash seed, global sample offset, row offset]
-        # prm_ref: (16, S_pad) transposed parameter table for the MXU gather
+        # prm_ref: (3, 16, S_pad) split-bf16 param table for the MXU gather
         # gat_ref: (16, r_sub, LANES) VMEM scratch — per-row gather results
         # land here so the per-param planes read back as canonical
         # (r_sub, LANES) tiles (ablation: the VPU masked-reduce gather was
@@ -282,7 +282,6 @@ def _make_kernel(
             # argmin over q equals argmin over t and the two per-sphere
             # divisions (root·inv_a) collapse into one per-row multiply
             min_t_a = MIN_T * a
-            max_t_a = MAX_T * a
             bt_rows = []
             for row in range(r_sub):
                 dxr = dx[row : row + 1]
@@ -296,37 +295,51 @@ def _make_kernel(
                 odd_r = o_dot_d[row : row + 1]
                 ooo_r = o_dot_o[row : row + 1]
                 min_q = min_t_a[row : row + 1]
-                max_q = max_t_a[row : row + 1]
 
                 c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
                 c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
                 half_b = odd_r - c_dot_d
                 c_coef = ooo_r - 2.0 * c_dot_o + s_k1
                 disc = half_b * half_b - a_r * c_coef
-                # disc < 0 ⇒ poison sq to -3e38 so both roots fall below
-                # min_q (saves a separate disc>=0 term). Inactive slots
-                # are encoded unhittable in the table (center=0, k1=+1 ⇒
-                # disc < 0 by Cauchy-Schwarz), so no active test either.
+                # disc < 0 ⇒ poison sq to -3e38: q_near = -half_b + 3e38
+                # absorbs to EXACTLY 3e38 (|half_b| ≪ ulp(3e38)), i.e. the
+                # fill value itself, so no upper-bound test is needed (no
+                # real geometry sits beyond MAX_T; no-hit is detected from
+                # the fill). NOT sqrt-of-negative→NaN: Mosaic's sqrt is not
+                # IEEE there (measured wrong images on device). Inactive
+                # slots are encoded unhittable in the table (center=0,
+                # k1=+1 ⇒ disc < 0 by Cauchy-Schwarz): no active test.
                 sq = jnp.where(
                     disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
                 )
                 q_near = -half_b - sq
                 q_far = -half_b + sq
                 q = jnp.where(q_near >= min_q, q_near, q_far)
-                valid = (q >= min_q) & (q <= max_q)
-                cand = jnp.where(valid, q, jnp.float32(3e38))
+                cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
                 bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
                 bt_rows.append(bq * inv_a_r)
                 # one-hot winner mask (ties: both fire — only on exactly
-                # coincident surfaces; masked to zero when no hit).
-                # HIGHEST precision: exact f32 (Mosaic supports only
-                # DEFAULT — lossy bf16 truncation of the params — and
-                # HIGHEST)
-                oh = ((cand == bq) & (cand < 1e37)).astype(jnp.float32)
-                gat_ref[:, row, :] = jax.lax.dot_general(
-                    prm_ref[:, :], oh, dn,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                # coincident surfaces). All-fill (no-hit) columns gather
+                # the sum of every slot's params — finite garbage that is
+                # provably unused: every consumer is masked by ``hit``.
+                # The gather is EXACT f32 via a 3-term bf16 split of the
+                # param table (hi/mid/lo each bf16-representable, one-hot
+                # exact in bf16, f32 accumulation) — 3 single-pass DEFAULT
+                # matmuls instead of one 6-pass HIGHEST.
+                oh = (cand == bq).astype(jnp.float32)
+                gat_ref[:, row, :] = (
+                    jax.lax.dot_general(
+                        prm_ref[0], oh, dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        prm_ref[1], oh, dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        prm_ref[2], oh, dn,
+                        preferred_element_type=jnp.float32,
+                    )
                 )
 
             best_t = jnp.concatenate(bt_rows, axis=0)
@@ -524,8 +537,14 @@ def _make_kernel(
 
 
 def _params_table_t(scene: Scene) -> jnp.ndarray:
-    """(16, S_pad) transposed gather table: rows = cx, cy, cz, 1/r (signed),
-    mat, albedo rgb, fuzz, refraction index; padded to 16 rows."""
+    """(3, 16, S_pad) transposed gather table in EXACT 3-term bf16 split form.
+
+    Planes 0 / 1 / 2 are the hi / mid / lo bf16 components of
+    [cx, cy, cz, 1/r (signed), mat, albedo rgb, fuzz, refraction index]
+    (padded to 16): x = hi + mid + lo with each term bf16-representable
+    (round-to-nearest splitting leaves ≤8 significant bits per term), so
+    three single-pass DEFAULT-precision MXU matmuls against a one-hot
+    reconstruct the exact f32 parameter — half the passes of HIGHEST."""
     s_pad = _pad_spheres(scene.count)
     rows = jnp.stack(
         [
@@ -542,7 +561,26 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
         ]
     ).astype(jnp.float32)
     rows = jnp.pad(rows, ((0, 6), (0, s_pad - scene.count)))
-    return rows
+    # The bf16 rounding is done with integer bit ops, NOT astype round-trips:
+    # inside jit, XLA's excess-precision simplifier folds f32->bf16->f32
+    # conversion pairs into the identity, which silently turns the split
+    # into [rows, 0, 0] and makes the kernel's DEFAULT-precision matmul
+    # truncate full-precision values (measured wrong images on device).
+    def to_bf16_f32(x):  # round-to-nearest-even, result bf16-representable
+        xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        xi = xi + jnp.uint32(0x7FFF) + ((xi >> 16) & jnp.uint32(1))
+        return jax.lax.bitcast_convert_type(
+            xi & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    hi = to_bf16_f32(rows)
+    r1 = rows - hi
+    mid = to_bf16_f32(r1)
+    lo = r1 - mid
+    # leading-dim stack, NOT a (48, S) concatenation: sublane-offset slices
+    # of a VMEM ref feeding the MXU miscompile silently (same family as the
+    # select_n sublane-broadcast pitfall); prm_ref[i] block indexing is safe
+    return jnp.stack([hi, mid, lo], axis=0)
 
 
 def _pad_spheres(n: int) -> int:
