@@ -11,7 +11,11 @@ in <2 s on one TPU chip at >500 Mrays/s").
 
 Env knobs: BENCH_CONFIG ('cover' default, or 'all' for the full matrix),
 BENCH_SPP, BENCH_BACKEND, BENCH_REPEATS, BENCH_RR (Russian-roulette start
-bounce; default 5, 0 = pure reference physics).
+bounce; default 5, 0 = pure reference physics). When RR is on, an rr0
+companion run is always reported (stderr + rr0_* JSON fields;
+BENCH_SKIP_RR0=1 to skip). BENCH_CONVERGENCE=1 adds a device-side
+full-spp mean-abs-diff check of the Pallas kernel against the
+independent jnp tracer.
 """
 
 from __future__ import annotations
@@ -142,6 +146,76 @@ def main() -> int:
             "backend": backend,
             "device": str(jax.devices()[0]),
         }
+
+        if rr and not os.environ.get("BENCH_SKIP_RR0"):
+            # honesty companion: the same render under pure reference
+            # physics (no Russian roulette), so the headline's RR benefit
+            # is always reported alongside, never hidden
+            opts0 = TraceOptions(max_depth=depth, backend=backend)
+
+            def run0(k):
+                img, stats = render_image(
+                    scene, cam, w, h, spp, k, opts0, return_stats=True
+                )
+                np.asarray(img)
+                return img, float(stats["segments"])
+
+            run0(key)
+            t0 = time.perf_counter()
+            _, segs0 = run0(jax.random.fold_in(key, 0))
+            wall0 = time.perf_counter() - t0
+            result["rr0_mrays"] = round(segs0 / wall0 / 1e6, 2)
+            result["rr0_wall_s"] = round(wall0, 3)
+            print(
+                f"rr0 (pure reference physics): {segs0/wall0/1e6:.1f} "
+                f"Mrays/s wall={wall0:.3f}s",
+                file=sys.stderr,
+            )
+
+        if os.environ.get("BENCH_CONVERGENCE"):
+            # device-side convergence check at the full benchmark spp:
+            # the Pallas kernel (with the benchmark's RR setting) against
+            # the independent jnp wavefront tracer under reference physics
+            import dataclasses
+
+            # reduced resolution, FULL spp and depth: the jnp tracer's
+            # sequential per-sphere fori (50 bounces x 512 spheres of tiny
+            # steps) crashes the TPU worker at full resolution; ~60k pixels
+            # x 500 spp is still a strong statistical parity test
+            wc, hc = min(w, 304), min(h, 200)
+            img_p, _ = render_image(
+                scene, cam, wc, hc, spp, key, opts, return_stats=True
+            )
+            # jnp reference in spp chunks, linear accumulation, gamma once
+            opts_j = dataclasses.replace(
+                opts, backend="jnp", russian_roulette_depth=0, gamma=False
+            )
+            lin = np.zeros((hc, wc, 3), np.float64)
+            done = 0
+            while done < spp:
+                cs = min(10, spp - done)
+                img_j, _ = render_image(
+                    scene, cam, wc, hc, cs,
+                    jax.random.fold_in(key, 1000 + done), opts_j,
+                    return_stats=True,
+                )
+                lin += np.asarray(img_j, np.float64) * cs
+                done += cs
+            img_j = np.sqrt(np.maximum(lin / spp, 0.0))
+            # the reference ships with the near-zero Lambertian guard
+            # disabled (shader.frag:222-225): a degenerate scatter
+            # direction NaNs that pixel — reference-faithful, ~1 in 1e7
+            # samples; exclude those pixels and report the count
+            diff = np.abs(np.asarray(img_p, np.float64) - img_j)
+            n_nan = int(np.isnan(diff).sum())
+            mad = float(np.nanmean(diff))
+            result["convergence_mad_vs_jnp"] = round(mad, 6)
+            result["convergence_nan_px"] = n_nan
+            print(
+                f"convergence: pallas(rr{rr}) vs jnp(rr0) @ {spp} spp "
+                f"mean|Δ|={mad:.2e} (nan px excluded: {n_nan})",
+                file=sys.stderr,
+            )
     except Exception as e:  # the driver needs a JSON line even on failure
         result = {
             "metric": "cover Mrays/sec/chip",

@@ -880,7 +880,9 @@ def _render_pallas(
     )
     offset = chunk
     while offset < spp:
-        cs = min(chunk, spp - offset)
+        # sorted chunks have cost-balanced tiles (launch time ≈ mean lane
+        # cost, not max), so they can safely run ~2x the unsorted budget
+        cs = min(2 * chunk, spp - offset)
         out = _render_chunk(
             scene, dcam, seed, offset, width, height, cs, opts, r_sub,
             interpret, pixel_map=pixel_map,
