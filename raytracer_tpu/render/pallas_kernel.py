@@ -852,7 +852,10 @@ def _render_pallas(
         acc = None
         offset = 0
         while offset < spp:
-            cs = min(chunk, spp - offset)
+            # same chunk schedule as the sorted path (first chunk `chunk`,
+            # then 2x) so sorted and unsorted renders accumulate per-pixel
+            # sums in identical order — bitwise-equal images
+            cs = min(chunk if offset == 0 else 2 * chunk, spp - offset)
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
                 interpret,
