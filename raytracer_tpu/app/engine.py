@@ -41,7 +41,7 @@ from raytracer_tpu.progressive.state import (
 )
 from raytracer_tpu.progressive.step import make_step_fn
 from raytracer_tpu.render.options import DebugParams, TraceOptions
-from raytracer_tpu.scene.spheres import Scene
+from raytracer_tpu.scene.spheres import NO_SELECTED_OBJECT_ID, Scene
 
 
 class Engine:
@@ -64,6 +64,10 @@ class Engine:
     ):
         self.scene = scene
         self.camera = camera
+        # construction-time defaults for Reset (src/dom.rs:42-46 restores
+        # State::default() — scene AND camera, src/state.rs:96-315)
+        self._default_scene = scene
+        self._default_camera = camera
         self.app = AppState(
             width=width,
             height=height,
@@ -142,7 +146,13 @@ class Engine:
         self.app.should_save = True
 
     def reset(self) -> None:
-        """handle_reset (src/dom.rs:42-46): restore defaults, restart."""
+        """handle_reset (src/dom.rs:42-46): restore ``State::default()`` —
+        the construction-time scene and camera (src/state.rs:96-315) —
+        then restart accumulation."""
+        self.scene = self._default_scene
+        self.camera = self._default_camera
+        self.app.selected_object = NO_SELECTED_OBJECT_ID
+        self.app.cursor_point = (0.0, 0.0, 0.0)
         self.render_state = reset_accumulation(self.render_state)
         self.app.render_count = 0
         self.app.should_render = True

@@ -131,7 +131,8 @@ def render_image_sharded_pallas(
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
         chunk = pk._pick_chunk_spp(
-            spp_local, width * local_h, scene.count, opts.max_depth
+            spp_local, width * local_h, scene.count, opts.max_depth,
+            opts.russian_roulette_depth,
         )
         acc = None
         offset = 0
@@ -236,6 +237,12 @@ def make_sharded_step_fn(
     if spp % spp_size:
         raise ValueError(f"spp {spp} not divisible by spp axis {spp_size}")
 
+    if opts.backend == "pallas" and not opts.enable_debug:
+        return _make_sharded_step_fn_pallas(
+            width, height, mesh, spp, opts, should_average,
+            last_frame_weight, max_render_count,
+        )
+
     st_full = pixel_st_grid(width, height)
 
     def shard_body(accum_block, st_block, frame, key, scene, dcam, debug):
@@ -285,6 +292,91 @@ def make_sharded_step_fn(
         render_count = jnp.minimum(state.render_count + 1, max_render_count)
         if should_average:
             accum = accumulate(state.accum, color, render_count, last_frame_weight)
+        else:
+            accum = color
+        new_state = state.replace(
+            accum=accum, render_count=render_count, frame=state.frame + 1
+        )
+        return new_state, {"segments": jnp.sum(segments)}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def _make_sharded_step_fn_pallas(
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int,
+    opts: TraceOptions,
+    should_average: bool,
+    last_frame_weight: float,
+    max_render_count: int,
+):
+    """Progressive step through the Pallas megakernel over the mesh — the
+    reference's primary realtime use case (static/shader.frag:387-404) on
+    the fast kernel at any mesh size. Each 'rows' shard renders its band
+    via the kernel's row-offset path and each 'spp' shard a disjoint global
+    sample range, reproducing the exact single-chip RNG streams: a sharded
+    frame equals the single-chip Pallas frame (bitwise for a pure-rows
+    mesh; to one psum's f32 summation order with an spp axis). The
+    accumulation buffer stays row-sharded frame to frame."""
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    rows = mesh.shape["rows"]
+    spp_axis = "spp" if "spp" in mesh.shape else None
+    spp_size = mesh.shape.get("spp", 1)
+    if height % (rows * 8):
+        raise ValueError(
+            f"height {height} must be divisible by rows*8 = {rows * 8} "
+            "for the Pallas row-offset path"
+        )
+    local_h = height // rows
+    spp_local = spp // spp_size
+    interpret = jax.default_backend() != "tpu"
+
+    def shard_body(frame, key, scene, dcam):
+        frame_key = jax.random.fold_in(key, frame[0])
+        kd = jax.random.key_data(frame_key).astype(jnp.uint32)
+        seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
+        row_offset = jax.lax.axis_index("rows") * local_h
+        samp0 = (
+            jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
+        )
+        chunk = pk._pick_chunk_spp(
+            spp_local, width * local_h, scene.count, opts.max_depth,
+            opts.russian_roulette_depth,
+        )
+        acc = None
+        offset = 0
+        while offset < spp_local:
+            cs = min(chunk, spp_local - offset)
+            out = pk._render_chunk(
+                scene, dcam, seed, samp0 + offset, width, height, cs, opts,
+                8, interpret, local_height=local_h, row_offset=row_offset,
+            )
+            acc = out if acc is None else acc + out
+            offset += cs
+        if spp_axis is not None:
+            acc = jax.lax.psum(acc, spp_axis)
+        image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)
+        return image, segments[None]
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P("rows", None, None), P("rows")),
+        check_rep=False,
+    )
+
+    def step(state: RenderState, scene: Scene, camera: CameraConfig,
+             debug: DebugParams):
+        dcam = derive_camera(camera)
+        color, segments = fn(state.frame[None], state.key, scene, dcam)
+        render_count = jnp.minimum(state.render_count + 1, max_render_count)
+        if should_average:
+            accum = accumulate(state.accum, color, render_count,
+                               last_frame_weight)
         else:
             accum = color
         new_state = state.replace(

