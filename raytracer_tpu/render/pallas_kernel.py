@@ -853,9 +853,9 @@ def _render_pallas(
         offset = 0
         while offset < spp:
             # same chunk schedule as the sorted path (first chunk `chunk`,
-            # then 2x) so sorted and unsorted renders accumulate per-pixel
+            # then 3x) so sorted and unsorted renders accumulate per-pixel
             # sums in identical order — bitwise-equal images
-            cs = min(chunk if offset == 0 else 2 * chunk, spp - offset)
+            cs = min(chunk if offset == 0 else 3 * chunk, spp - offset)
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
                 interpret,
@@ -884,8 +884,8 @@ def _render_pallas(
     offset = chunk
     while offset < spp:
         # sorted chunks have cost-balanced tiles (launch time ≈ mean lane
-        # cost, not max), so they can safely run ~2x the unsorted budget
-        cs = min(2 * chunk, spp - offset)
+        # cost, not max), so they can safely run ~3x the unsorted budget
+        cs = min(3 * chunk, spp - offset)
         out = _render_chunk(
             scene, dcam, seed, offset, width, height, cs, opts, r_sub,
             interpret, pixel_map=pixel_map,
