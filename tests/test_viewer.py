@@ -28,3 +28,52 @@ def test_frame_to_ansi_flips_to_scanline():
     s = frame_to_ansi(img, max_cols=4)
     # the blue row must appear in the FIRST output line (top of terminal)
     assert "38;2;0;0;255" in s.split("\n")[0]
+
+
+def test_viewer_loop_pty_smoke():
+    """Drive the raw-terminal event loop end-to-end in a child process under
+    a pty: look/move/zoom/pause/reset keys are consumed, frames render as
+    ANSI, and 'q' (or the frame cap) exits cleanly, restoring the tty."""
+    import os
+    import pty
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in the child
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from raytracer_tpu.app.viewer import run_viewer; "
+        "n = run_viewer('two_sphere', 64, 36, max_frames=60, "
+        "target_fps=1000.0, cols=24); "
+        "print('VIEWER_DONE', n)"
+    )
+    master, slave = pty.openpty()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdin=slave,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=repo,
+    )
+    os.close(slave)
+    try:
+        # exercise every control family while the loop runs (the first
+        # frames include the jit compile, so space the keys out)
+        for key in [b"i", b"j", b"w", b"+", b"p", b"p", b"r"]:
+            os.write(master, key)
+            time.sleep(0.3)
+        os.write(master, b"q")
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        os.close(master)
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-500:]
+    assert b"VIEWER_DONE" in out
+    assert b"\x1b[38;2;" in out  # truecolor half-block frames were drawn
+    assert b"fps" in out or b"frame" in out
