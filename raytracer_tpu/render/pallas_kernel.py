@@ -298,9 +298,12 @@ def _make_kernel(
 
                 c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
                 c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
-                half_b = odd_r - c_dot_d
+                # nb = -half_b (shader.frag:152): building the negated form
+                # directly saves the negation in both root computations
+                # (bitwise-safe: rn(b-a) == -rn(a-b) for finite f32)
+                nb = c_dot_d - odd_r
                 c_coef = ooo_r - 2.0 * c_dot_o + s_k1
-                disc = half_b * half_b - a_r * c_coef
+                disc = nb * nb - a_r * c_coef
                 # disc < 0 ⇒ poison sq to -3e38: q_near = -half_b + 3e38
                 # absorbs to EXACTLY 3e38 (|half_b| ≪ ulp(3e38)), i.e. the
                 # fill value itself, so no upper-bound test is needed (no
@@ -312,8 +315,8 @@ def _make_kernel(
                 sq = jnp.where(
                     disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
                 )
-                q_near = -half_b - sq
-                q_far = -half_b + sq
+                q_near = nb - sq
+                q_far = nb + sq
                 q = jnp.where(q_near >= min_q, q_near, q_far)
                 cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
                 bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
