@@ -31,10 +31,18 @@ def frame_to_ansi(img: np.ndarray, max_cols: int = 100) -> str:
 
     Each character cell shows two vertically stacked pixels (▀ with fg =
     upper pixel, bg = lower pixel). Downsamples by striding to fit
-    ``max_cols``.
+    ``max_cols``. Encoded by the native C++ runtime when available (this
+    is the per-frame host hot path — the analog of the reference's canvas
+    blit); the pure-Python fallback below is byte-identical (pinned by
+    tests/test_viewer.py).
     """
     h, w, _ = img.shape
     stride = max(1, (w + max_cols - 1) // max_cols)
+    from raytracer_tpu.native import ansi_halfblocks_native
+
+    native = ansi_halfblocks_native(img, stride)
+    if native is not None:
+        return native
     sub = img[::-1][::stride, ::stride]  # flip to scanline order + downsample
     if sub.shape[0] % 2:
         sub = sub[:-1]

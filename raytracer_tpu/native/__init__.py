@@ -52,6 +52,15 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_size_t),
     ]
+    lib.rt_ansi_halfblocks.restype = ctypes.c_long
+    lib.rt_ansi_halfblocks.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_size_t,
+    ]
     return lib
 
 
@@ -80,3 +89,26 @@ def encode_png_native(rgb_f32, flip_vertical: bool = True) -> bytes | None:
     if rc != 0:
         return None
     return bytes(bytearray(out)[: cap.value])
+
+
+def ansi_halfblocks_native(rgb_f32, stride: int) -> str | None:
+    """f32 (H, W, 3) GL-row-order framebuffer → ANSI half-block string via
+    the C++ encoder, or None if the native library is unavailable. Matches
+    :func:`raytracer_tpu.app.viewer.frame_to_ansi` byte-for-byte."""
+    if LIB is None:
+        return None
+    import numpy as np
+
+    arr = np.ascontiguousarray(rgb_f32, dtype=np.float32)
+    h, w, _ = arr.shape
+    sub_w = -(-w // stride)
+    sub_h = -(-h // stride)
+    cap = ctypes.c_size_t((sub_h // 2) * (sub_w * 41 + 5) + 64)
+    out = (ctypes.c_uint8 * cap.value)()
+    n = LIB.rt_ansi_halfblocks(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, stride, out, cap,
+    )
+    if n < 0:
+        return None
+    return bytes(bytearray(out)[:n]).decode("utf-8")

@@ -1,6 +1,7 @@
 """Terminal viewer tests (the renderable part; raw-terminal loop excluded)."""
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.app.viewer import frame_to_ansi
 
@@ -77,3 +78,26 @@ def test_viewer_loop_pty_smoke():
     assert b"VIEWER_DONE" in out
     assert b"\x1b[38;2;" in out  # truecolor half-block frames were drawn
     assert b"fps" in out or b"frame" in out
+
+
+def test_native_ansi_matches_python():
+    """The C++ ANSI encoder is byte-identical to the Python fallback on
+    random framebuffers across strides and odd shapes."""
+    from raytracer_tpu import native
+    from raytracer_tpu.app import viewer
+
+    if native.LIB is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    for h, w, cols in [(36, 64, 24), (45, 100, 100), (17, 33, 10), (8, 128, 64)]:
+        img = rng.random((h, w, 3), dtype=np.float32) * 1.4 - 0.2  # out-of-gamut too
+        stride = max(1, (w + cols - 1) // cols)
+        got = native.ansi_halfblocks_native(img, stride)
+        # force the Python path by simulating a missing library
+        orig = native.LIB
+        try:
+            native.LIB = None
+            want = viewer.frame_to_ansi(img, cols)
+        finally:
+            native.LIB = orig
+        assert got == want, (h, w, cols)
