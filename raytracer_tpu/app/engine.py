@@ -211,11 +211,35 @@ class Engine:
         self.app.update_moving_fps(now, dt)
 
         step = self._step_fn(self.app.effective_spp())
-        self.render_state, aux = step(
-            self.render_state, self.scene, self.camera,
-            self._debug_params(),
-        )
-        self.total_segments += float(aux["segments"])
+        try:
+            self.render_state, aux = step(
+                self.render_state, self.scene, self.camera,
+                self._debug_params(),
+            )
+            self.total_segments += float(aux["segments"])
+        except Exception as e:
+            from raytracer_tpu.utils.resilience import is_device_fault
+
+            if not is_device_fault(e):
+                raise
+            # device fault (worker crash/restart): the accumulation buffer
+            # died with the worker — the GL-context-loss analog. Recover by
+            # rebuilding device state and restarting accumulation; the next
+            # tick re-renders. (src/webgl.rs has no equivalent; the browser
+            # would reload the page.)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device fault during frame step (%s); resetting device "
+                "state and restarting accumulation", str(e)[:120],
+            )
+            self._step_cache.clear()
+            self.render_state = init_render_state(
+                self.app.width, self.app.height, jax.random.PRNGKey(0)
+            )
+            self.app.render_count = 0
+            self.app.should_render = True
+            return False
 
         if self.app.should_save:
             self.app.should_save = False

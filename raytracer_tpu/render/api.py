@@ -63,16 +63,34 @@ def render_image(
                 backend = "jnp"
     if backend == "pallas":
         from raytracer_tpu.render.pallas_kernel import render_image_pallas
+        from raytracer_tpu.utils.resilience import retry_on_device_fault
 
-        return render_image_pallas(
-            scene, dcam, width, height, spp, key, opts, debug,
-            return_stats=return_stats,
-        )
+        @retry_on_device_fault
+        def _run_pallas():
+            # block inside the retry scope so worker crashes surface here
+            # (device buffers don't survive a crash; the whole render is
+            # the recovery unit — inputs re-upload from host on retry)
+            return jax.block_until_ready(
+                render_image_pallas(
+                    scene, dcam, width, height, spp, key, opts, debug,
+                    return_stats=return_stats,
+                )
+            )
+
+        return _run_pallas()
     if backend == "jnp":
+        from raytracer_tpu.utils.resilience import retry_on_device_fault
+
         fn = _jitted_jnp(
             width, height, spp, opts, return_stats, debug is not None
         )
-        return fn(
-            scene, dcam, key, debug if debug is not None else DebugParams.none()
-        )
+
+        @retry_on_device_fault
+        def _run_jnp():
+            return jax.block_until_ready(
+                fn(scene, dcam, key,
+                   debug if debug is not None else DebugParams.none())
+            )
+
+        return _run_jnp()
     raise ValueError(f"unknown backend {backend!r}")
