@@ -24,18 +24,33 @@ def _on_tpu() -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _jitted_jnp(width: int, height: int, spp: int, opts: TraceOptions,
-                return_stats: bool, with_debug: bool):
-    """One fully-jitted offline render per static config — a single device
-    program instead of thousands of eager dispatches (critical when the
-    device sits behind a network tunnel)."""
+                with_debug: bool):
+    """One fully-jitted LINEAR chunk render per static config — a single
+    device program instead of thousands of eager dispatches (critical when
+    the device sits behind a network tunnel). Gamma/averaging happen in
+    the caller so chunks can accumulate."""
+    import dataclasses
 
-    def fn(scene, dcam, key, debug):
-        return render_image_jnp(
-            scene, dcam, width, height, spp, key, opts,
-            debug if with_debug else None, return_stats=return_stats,
+    lin_opts = dataclasses.replace(opts, gamma=False)
+
+    def fn(scene, dcam, key, debug, sample_offset):
+        img, stats = render_image_jnp(
+            scene, dcam, width, height, spp, key, lin_opts,
+            debug if with_debug else None, return_stats=True,
+            sample_offset=sample_offset,
         )
+        return img * spp, stats  # linear SUM for cross-chunk accumulation
 
     return jax.jit(fn)
+
+
+def _jnp_chunk_spp(spp: int, p: int, s_count: int, max_depth: int) -> int:
+    """Bound one jnp-tracer execution: its per-sphere scan is a sequential
+    fori, so a full 500-spp cover render in ONE XLA execution runs
+    multi-minute and crashes the TPU worker (measured). ~5e9 ray-sphere
+    tests per execution keeps launches in the seconds range."""
+    per_sample = p * min(max_depth, 8) * max(s_count, 1)
+    return max(1, min(spp, int(5e9 // max(per_sample, 1))))
 
 
 def render_image(
@@ -79,17 +94,39 @@ def render_image(
 
         return _run_pallas()
     if backend == "jnp":
+        import jax.numpy as jnp
+
         from raytracer_tpu.utils.resilience import retry_on_device_fault
 
-        fn = _jitted_jnp(
-            width, height, spp, opts, return_stats, debug is not None
+        dbg = debug if debug is not None else DebugParams.none()
+        chunk = _jnp_chunk_spp(spp, width * height, scene.count,
+                               opts.max_depth)
+        fn = _jitted_jnp(width, height, chunk, opts, debug is not None)
+        tail = spp - (spp // chunk) * chunk
+        fn_tail = (
+            _jitted_jnp(width, height, tail, opts, debug is not None)
+            if tail else None
         )
 
         @retry_on_device_fault
         def _run_jnp():
+            acc, segments = None, None
+            offset = 0
+            while offset < spp:
+                f = fn if spp - offset >= chunk else fn_tail
+                img, stats = f(scene, dcam, key, dbg,
+                               jnp.asarray(offset, jnp.int32))
+                acc = img if acc is None else acc + img
+                segments = (
+                    stats["segments"] if segments is None
+                    else segments + stats["segments"]
+                )
+                offset += chunk if spp - offset >= chunk else tail
+            color = acc * (1.0 / spp)
+            if opts.gamma:
+                color = jnp.sqrt(jnp.maximum(color, 0.0))
             return jax.block_until_ready(
-                fn(scene, dcam, key,
-                   debug if debug is not None else DebugParams.none())
+                (color, {"segments": segments}) if return_stats else color
             )
 
         return _run_jnp()

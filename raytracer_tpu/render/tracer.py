@@ -293,18 +293,22 @@ def render_image_jnp(
     opts: TraceOptions,
     debug: DebugParams | None = None,
     return_stats: bool = False,
+    sample_offset=0,
 ):
     """Full offline render (shader.frag:360-383): spp loop, average, gamma.
 
     Returns (H, W, 3) f32, row 0 at the image *bottom* (GL orientation);
     with ``return_stats`` also a dict with the traced segment count.
+    ``sample_offset`` shifts the per-sample RNG streams so a render split
+    into spp chunks reproduces the unchunked sample decomposition exactly
+    (the caller averages linear chunk sums).
     """
     st = pixel_st_grid(width, height).reshape(-1, 2)
     p = st.shape[0]
 
     def body(s, carry):
         acc, segments = carry
-        skey = jax.random.fold_in(key, s)
+        skey = jax.random.fold_in(key, sample_offset + s)
         color, seg = render_sample(
             scene, dcam, st, skey, width, height, opts, debug
         )
