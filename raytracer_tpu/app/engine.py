@@ -78,6 +78,7 @@ class Engine:
         self.backend = backend
         self.exhaust_black = exhaust_black
         self.russian_roulette_depth = russian_roulette_depth
+        self._seed = seed
         self.render_state: RenderState = init_render_state(
             width, height, jax.random.PRNGKey(seed)
         )
@@ -235,7 +236,7 @@ class Engine:
             )
             self._step_cache.clear()
             self.render_state = init_render_state(
-                self.app.width, self.app.height, jax.random.PRNGKey(0)
+                self.app.width, self.app.height, jax.random.PRNGKey(self._seed)
             )
             self.app.render_count = 0
             self.app.should_render = True

@@ -29,7 +29,10 @@ def _build() -> bool:
 
 
 def _load():
-    if not os.path.exists(_SO) and not _build():
+    # always run make: a stale .so from an older source set (e.g. built
+    # before ansi.cpp existed) would load but miss newer symbols; make is
+    # a no-op when the library is current
+    if not _build() and not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -52,6 +55,8 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_size_t),
     ]
+    if not hasattr(lib, "rt_ansi_halfblocks"):
+        return None  # stale library that a rebuild could not refresh
     lib.rt_ansi_halfblocks.restype = ctypes.c_long
     lib.rt_ansi_halfblocks.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -111,4 +116,5 @@ def ansi_halfblocks_native(rgb_f32, stride: int) -> str | None:
     )
     if n < 0:
         return None
-    return bytes(bytearray(out)[:n]).decode("utf-8")
+    # copy only the n encoded bytes (this runs every displayed frame)
+    return ctypes.string_at(out, n).decode("utf-8")

@@ -85,6 +85,34 @@ def _render_shard(
     return color.reshape(rows_local, -1, 3), segments[None]
 
 
+def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
+                        local_h, opts, interpret):
+    """Chunked Pallas band render for one rows-shard (shared by the offline
+    and progressive sharded paths). Constant-size chunks: the profile-sort
+    machinery lives outside shard_map, so shards mirror the single-chip
+    UNSORTED schedule — bitwise-equal to single-chip when spp_local fits
+    one chunk (always true for progressive 1-spp frames), and equal up to
+    f32 chunk-summation order beyond that."""
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    row_offset = jax.lax.axis_index("rows") * local_h
+    chunk = pk._pick_chunk_spp(
+        spp_local, width * local_h, scene.count, opts.max_depth,
+        opts.russian_roulette_depth,
+    )
+    acc = None
+    offset = 0
+    while offset < spp_local:
+        cs = min(chunk, spp_local - offset)
+        out = pk._render_chunk(
+            scene, dcam, seed, samp0 + offset, width, height, cs, opts,
+            8, interpret, local_height=local_h, row_offset=row_offset,
+        )
+        acc = out if acc is None else acc + out
+        offset += cs
+    return acc
+
+
 def render_image_sharded_pallas(
     scene: Scene,
     camera: CameraConfig,
@@ -126,24 +154,13 @@ def render_image_sharded_pallas(
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
 
     def shard_body(scene, dcam, seed):
-        row_offset = jax.lax.axis_index("rows") * local_h
         samp0 = (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
-        chunk = pk._pick_chunk_spp(
-            spp_local, width * local_h, scene.count, opts.max_depth,
-            opts.russian_roulette_depth,
+        acc = _pallas_band_chunks(
+            scene, dcam, seed, samp0, spp_local, width, height, local_h,
+            opts, interpret,
         )
-        acc = None
-        offset = 0
-        while offset < spp_local:
-            cs = min(chunk, spp_local - offset)
-            out = pk._render_chunk(
-                scene, dcam, seed, samp0 + offset, width, height, cs, opts,
-                8, interpret, local_height=local_h, row_offset=row_offset,
-            )
-            acc = out if acc is None else acc + out
-            offset += cs
         if spp_axis is not None:
             acc = jax.lax.psum(acc, spp_axis)
         image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)
@@ -318,8 +335,11 @@ def _make_sharded_step_fn_pallas(
     via the kernel's row-offset path and each 'spp' shard a disjoint global
     sample range, reproducing the exact single-chip RNG streams: a sharded
     frame equals the single-chip Pallas frame (bitwise for a pure-rows
-    mesh; to one psum's f32 summation order with an spp axis). The
-    accumulation buffer stays row-sharded frame to frame."""
+    mesh when spp_local fits one launch — always true at the progressive
+    1-spp frame size; with an spp axis, to one psum's f32 summation order;
+    for multi-launch spp_local, to chunk-summation order since the shard
+    body mirrors the single-chip UNSORTED schedule). The accumulation
+    buffer stays row-sharded frame to frame."""
     from raytracer_tpu.render import pallas_kernel as pk
 
     rows = mesh.shape["rows"]
@@ -338,24 +358,13 @@ def _make_sharded_step_fn_pallas(
         frame_key = jax.random.fold_in(key, frame[0])
         kd = jax.random.key_data(frame_key).astype(jnp.uint32)
         seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
-        row_offset = jax.lax.axis_index("rows") * local_h
         samp0 = (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
-        chunk = pk._pick_chunk_spp(
-            spp_local, width * local_h, scene.count, opts.max_depth,
-            opts.russian_roulette_depth,
+        acc = _pallas_band_chunks(
+            scene, dcam, seed, samp0, spp_local, width, height, local_h,
+            opts, interpret,
         )
-        acc = None
-        offset = 0
-        while offset < spp_local:
-            cs = min(chunk, spp_local - offset)
-            out = pk._render_chunk(
-                scene, dcam, seed, samp0 + offset, width, height, cs, opts,
-                8, interpret, local_height=local_h, row_offset=row_offset,
-            )
-            acc = out if acc is None else acc + out
-            offset += cs
         if spp_axis is not None:
             acc = jax.lax.psum(acc, spp_axis)
         image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)

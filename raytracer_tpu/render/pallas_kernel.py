@@ -597,8 +597,19 @@ def _sphere_table(scene: Scene) -> jnp.ndarray:
     Inactive slots (and padding) are encoded as GEOMETRICALLY unhittable:
     center=(0,0,0) with k1 = |c|^2 - r^2 = +1 (i.e. r^2 = -1) makes the
     discriminant (o·d)^2 - |d|^2(|o|^2 + 1) < 0 for every ray by
-    Cauchy-Schwarz — the scan needs no per-sphere active test."""
-    act = scene.active > 0.0
+    Cauchy-Schwarz — the scan needs no per-sphere active test.
+
+    Spheres entirely beyond MAX_T of the world origin are also encoded
+    unhittable: the kernel's scan has no per-ray upper t bound (the
+    shader's t_max test, shader.frag:157 — dropped because no-hit is
+    detected from the fill value instead), so MAX_T acts as a world-extent
+    bound here rather than a per-ray clip. Scenes are orders of magnitude
+    smaller than MAX_T=1e5; the jnp tracer keeps the exact per-ray
+    semantics."""
+    act = (scene.active > 0.0) & (
+        jnp.linalg.norm(scene.center, axis=-1) - jnp.abs(scene.radius)
+        <= MAX_T
+    )
     c = jnp.where(act[:, None], scene.center, 0.0)
     r = scene.radius
     k1 = jnp.where(act, jnp.sum(c * c, axis=-1) - r * r, 1.0)
@@ -856,9 +867,9 @@ def _render_pallas(
         offset = 0
         while offset < spp:
             # same chunk schedule as the sorted path (first chunk `chunk`,
-            # then 3x) so sorted and unsorted renders accumulate per-pixel
+            # then 2x) so sorted and unsorted renders accumulate per-pixel
             # sums in identical order — bitwise-equal images
-            cs = min(chunk if offset == 0 else 3 * chunk, spp - offset)
+            cs = min(chunk if offset == 0 else 2 * chunk, spp - offset)
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
                 interpret,
@@ -887,8 +898,10 @@ def _render_pallas(
     offset = chunk
     while offset < spp:
         # sorted chunks have cost-balanced tiles (launch time ≈ mean lane
-        # cost, not max), so they can safely run ~3x the unsorted budget
-        cs = min(3 * chunk, spp - offset)
+        # cost, not max), so they can run 2x the base budget. 2x keeps the
+        # UNSORTED mirror schedule inside the measured fault-free launch
+        # envelope too (3.2 s); 3x measured no rr5 gain over 2x.
+        cs = min(2 * chunk, spp - offset)
         out = _render_chunk(
             scene, dcam, seed, offset, width, height, cs, opts, r_sub,
             interpret, pixel_map=pixel_map,

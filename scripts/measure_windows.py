@@ -79,6 +79,11 @@ def main():
         mem = sidx[g * GROUP : (g + 1) * GROUP]
         glo[g] = (centers[mem, 0] - np.abs(radii[mem])).min()
         ghi[g] = (centers[mem, 0] + np.abs(radii[mem])).max()
+    # searchsorted requires monotone arrays; group min/max extents can
+    # locally invert when neighboring boundaries are closer than a radius,
+    # so use the conservative monotone envelopes
+    ghi = np.maximum.accumulate(ghi)
+    glo = np.minimum.accumulate(glo[::-1])[::-1]
     print(f"groups: {n_groups} (x spans {glo.min():.1f}..{ghi.max():.1f}; "
           f"mean width {np.mean(ghi - glo):.2f})")
 
@@ -205,6 +210,8 @@ def attribution():
         mem = sidx[g * GROUP : (g + 1) * GROUP]
         glo[g] = (centers[mem, 0] - np.abs(radii[mem])).min()
         ghi[g] = (centers[mem, 0] + np.abs(radii[mem])).max()
+    ghi = np.maximum.accumulate(ghi)  # monotone envelopes for searchsorted
+    glo = np.minimum.accumulate(glo[::-1])[::-1]
 
     big_scene = subscene(scene, jnp.asarray(big))
     st = cam_mod.pixel_st_grid(WIDTH, HEIGHT).reshape(-1, 2)
