@@ -8,20 +8,24 @@ materials (210-286), sky miss (289-294), and spp-average + sqrt gamma
 
 Design notes (vs. both the GLSL kernel and the plain-jnp tracer):
 
-- Grid over flat pixel tiles of (R_SUB, 128) lanes; each kernel instance
-  owns TILE = R_SUB*128 pixels and runs all spp samples and bounces for
-  them. Ray state is SoA f32 registers (ox, oy, oz, dx, ...), never (N, 3)
+- Grid over pixel tiles of (K_SLOTS·R_SUB, 128) pixels; each kernel
+  instance owns the tile and runs all spp samples and bounces for it.
+  Ray state is SoA f32 registers (ox, oy, oz, dx, ...), never (N, 3)
   arrays, so every op is a full-width VPU op.
-- ONE ``while_loop`` serves every (sample, bounce) of the tile with PATH
-  REGENERATION: a lane whose path terminates (sky/absorb/RR/depth) folds
-  its contribution into a per-lane accumulator and immediately starts its
-  next sample in place, so the vector unit always runs near-full of live
-  rays. This is the TPU analog of SIMT occupancy — the GLSL kernel's
-  per-thread ``return`` (shader.frag:310/328/334) becomes per-lane masks,
-  and the fixed-width penalty of waiting out the deepest of 1024 lanes
-  per sample (live fraction measured 100/85/37/20/11 % at bounces 0-4 on
-  the cover scene) disappears. RNG counters per (pixel, sample, bounce)
-  are unchanged, so the image is bitwise-identical to a per-sample loop.
+- ONE ``while_loop`` serves every (sample, bounce, pixel) of the tile
+  with PATH REGENERATION: a lane whose path terminates (sky/absorb/RR/
+  depth) folds its contribution into its pixel's accumulator and
+  immediately starts its next sample in place — and, when its samples run
+  out, its next pixel (K-SLOT VIRTUAL TILES: each lane walks K pixels, so
+  its total work averages K independent path costs and the tile's
+  max-lane wait concentrates toward the mean). The vector unit always
+  runs near-full of live rays. This is the TPU analog of SIMT occupancy —
+  the GLSL kernel's per-thread ``return`` (shader.frag:310/328/334)
+  becomes per-lane masks, and the fixed-width penalty of waiting out the
+  deepest of 1024 lanes per sample (live fraction measured
+  100/85/37/20/11 % at bounces 0-4 on the cover scene) disappears. RNG
+  counters per (pixel, sample, bounce) are unchanged, so the image is
+  bitwise-identical to a per-sample loop at every K.
 - The closest-hit scan is vectorized over BOTH rays and spheres: the scene
   is a (S_pad, 12) VMEM column table, spheres broadcast on sublanes against
   each 128-ray lane row, and the closest hit is a sublane min-reduction —
@@ -125,12 +129,14 @@ def _make_kernel(
     opts: TraceOptions,
     tiles_x: int,
     permuted: bool = False,
+    k_slots: int = 1,
 ):
     inv_w = 1.0 / width
     inv_h = 1.0 / height
     # draws per bounce: 7 material + safety; per sample: 4 camera + bounces
     draws_per_bounce = 8
     draws_per_sample = 4 + max_depth * draws_per_bounce
+    wp = tiles_x * LANES
 
     dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
 
@@ -170,37 +176,79 @@ def _make_kernel(
         s_cz = sph_ref[:, 2:3]
         s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
 
-        if permuted:
-            # profile-guided layout: the host assigns each lane an arbitrary
-            # pixel (expensive pixels packed into the same tiles so a tile's
-            # max-lane wait ≈ its mean); everything downstream — RNG hash,
-            # camera st, crop mask — derives from the same (ipx, ipy), so
-            # per-pixel results are bitwise-independent of placement
-            ipx = pix_ref[0, 0]
-            ipy = pix_ref[0, 1]
-        else:
-            # RECTANGULAR tiles: each grid step owns an (r_sub x LANES)-pixel
-            # block, not a full-width strip — spatially compact tiles keep the
-            # regeneration loop short on tiles whose pixels all converge early
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
-            ipx = (t % tiles_x) * LANES + lane_ids
-            ipy = row_offset + (t // tiles_x) * r_sub + row_ids
-        gid = ipy * (tiles_x * LANES) + ipx
-        # fold the frame/key seed into the pixel hash key
-        pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
-
-        # st fragment centers (shader.frag:410)
-        px = ipx.astype(jnp.float32)
-        py = ipy.astype(jnp.float32)
-        # padding lanes (the 2-D tile grid rounds W/H up): never alive, so
-        # they cost nothing, count nothing, and their output is cropped
-        in_image = ((ipx < width) & (ipy < height)).astype(jnp.float32)
-
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
         one = jnp.ones((r_sub, LANES), jnp.float32)
 
-        def gen_ray(s_f):
+        # --- K-SLOT VIRTUAL TILES ----------------------------------------
+        # Each lane owns k_slots pixels and walks them in order (all spp
+        # samples of slot 0, then slot 1, ...) inside the ONE regeneration
+        # while_loop. A lane's total work is the SUM of K pixels' path
+        # costs, so the tile's max-lane wait concentrates toward the mean
+        # (relative sample-noise shrinks ~1/sqrt(K)) — this attacks the
+        # residual 15-25% tile imbalance that per-pixel cost sorting cannot
+        # predict. Per-pixel RNG streams depend only on (ipx, ipy), so the
+        # image is bitwise-identical for every K.
+        if permuted:
+            # profile-guided layout: the host assigns each lane arbitrary
+            # pixels (expensive pixels packed into the same tiles so a
+            # tile's max-lane wait ≈ its mean); everything downstream —
+            # RNG hash, camera st, crop mask — derives from the same
+            # (ipx, ipy), so per-pixel results are placement-independent
+            pxk = [
+                pix_ref[0, 0, k].astype(jnp.float32) for k in range(k_slots)
+            ]
+            pyk = [
+                pix_ref[0, 1, k].astype(jnp.float32) for k in range(k_slots)
+            ]
+
+            def pixel_xy(k_f):
+                if k_slots == 1:
+                    return pxk[0], pyk[0]
+                # one-hot gather over the K slots (K cmp + 2K fma per call
+                # — noise against the ~10k-op closest-hit scan)
+                px = zero
+                py = zero
+                for k in range(k_slots):
+                    m = (k_f == jnp.float32(k)).astype(jnp.float32)
+                    px = px + m * pxk[k]
+                    py = py + m * pyk[k]
+                return px, py
+        else:
+            # RECTANGULAR tiles: each grid step owns a (k_slots·r_sub x
+            # LANES)-pixel block — slot k is the k-th (r_sub x LANES) row
+            # band — not a full-width strip; spatially compact tiles keep
+            # the regeneration loop short where all pixels converge early
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
+            px_const = ((t % tiles_x) * LANES + lane_ids).astype(jnp.float32)
+            base_py = (
+                row_offset + (t // tiles_x) * (k_slots * r_sub) + row_ids
+            ).astype(jnp.float32)
+
+            def pixel_xy(k_f):
+                if k_slots == 1:
+                    return px_const, base_py
+                return px_const, base_py + k_f * jnp.float32(r_sub)
+
+        def pixel_state(k_f):
+            """Current pixel of each lane: st coords, RNG hash, crop mask.
+
+            Padding lanes (the 2-D tile grid rounds W/H up) are never
+            alive, so they cost nothing, count nothing, and their output
+            is cropped. Advancing k can only move a lane deeper into the
+            padding suffix (rows grow with k in the rectangular layout;
+            sorted layouts place zero-cost padding last), so a lane whose
+            next slot is out of image is done for good."""
+            px, py = pixel_xy(k_f)
+            gid = py.astype(jnp.int32) * wp + px.astype(jnp.int32)
+            # fold the frame/key seed into the pixel hash key
+            pix = _lowbias32(gid.astype(jnp.uint32) ^ jnp.uint32(base_seed))
+            in_img = jnp.logical_and(
+                px < jnp.float32(width), py < jnp.float32(height)
+            )
+            return px, py, pix, in_img
+
+        def gen_ray(s_f, px, py, pix):
             """Camera ray for per-lane sample index ``s_f`` (f32, exact int).
 
             Identical math and RNG counters to the per-sample generation of
@@ -227,38 +275,61 @@ def _make_kernel(
             return ox, oy, oz, dx, dy, dz
 
         # --- PATH REGENERATION -------------------------------------------
-        # One while_loop serves every (sample, bounce) of the tile: when a
-        # lane's path terminates (sky / absorb / RR kill / depth exhausted)
-        # its contribution is folded into the per-lane accumulator and the
-        # lane immediately starts its NEXT sample in place. The GLSL kernel
-        # gets this for free from SIMT occupancy; for the TPU's fixed
-        # (r_sub, LANES) vector shape it is the difference between paying
-        # for max-depth-of-1024-lanes per sample and paying E[depth] —
-        # measured live-lane fraction on the cover scene is 100/85/37/20/11%
-        # at bounces 0-4, so the non-regenerating spp-loop wasted 3-5x.
-        # Per-lane sample/bounce counters are carried as f32 (exact for the
-        # magnitudes involved; Mosaic while-carries of int vectors are the
-        # pitfall this sidesteps). RNG draw counters per (pixel, sample,
-        # bounce) are unchanged, so output is BITWISE identical to the
-        # pre-regeneration kernel.
+        # One while_loop serves every (sample, bounce, pixel slot) of the
+        # tile: when a lane's path terminates (sky / absorb / RR kill /
+        # depth exhausted) its contribution is folded into its pixel's
+        # accumulator and the lane immediately starts its NEXT sample in
+        # place — and when its samples run out, its next PIXEL. The GLSL
+        # kernel gets this for free from SIMT occupancy; for the TPU's
+        # fixed (r_sub, LANES) vector shape it is the difference between
+        # paying for max-depth-of-1024-lanes per sample and paying
+        # E[depth] — measured live-lane fraction on the cover scene is
+        # 100/85/37/20/11% at bounces 0-4, so the non-regenerating
+        # spp-loop wasted 3-5x. Per-lane sample/bounce/slot counters are
+        # carried as f32 (exact for the magnitudes involved; Mosaic
+        # while-carries of int vectors are the pitfall this sidesteps).
+        # RNG draw counters per (pixel, sample, bounce) are unchanged, so
+        # output is BITWISE identical to the pre-regeneration kernel.
+        #
+        # Per-slot accumulators live in the OUTPUT block (masked fma per
+        # iteration), not in carries: channel 3k+c is slot k's linear
+        # color sum, 3K+k its per-lane path cost, 4K the tile's segment
+        # count — and the carry count DROPS vs. the register-accumulator
+        # form.
+        out_ref[0] = jnp.zeros((4 * k_slots + 1, r_sub, LANES), jnp.float32)
         s_f0 = zero
-        ox, oy, oz, dx, dy, dz = gen_ray(s_f0)
+        px0, py0, pix0, in0 = pixel_state(zero)
+        ox, oy, oz, dx, dy, dz = gen_ray(s_f0, px0, py0, pix0)
 
         def live_cond(state):
-            alive = state[14]
+            alive = state[12]
             return jnp.max(alive) > 0.0
 
         def body(state):
             (ox, oy, oz, dx, dy, dz, cr, cg, cb,
-             acc_r, acc_g, acc_b, s_f, i_f, alive, cost, segs) = state
+             s_f, i_f, k_f, alive, segs) = state
+            _, _, pix, _ = pixel_state(k_f)
             ctr0 = (
                 (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
             )
             ctr = ctr0 + 4 + i_f.astype(jnp.int32) * draws_per_bounce
 
             segs = segs + jnp.sum(alive)
-            # per-lane path cost: the profile that drives pixel sorting
-            cost = cost + alive
+            # one-hot over the lane's current pixel slot: routes this
+            # iteration's cost tick and any path contribution to that
+            # pixel's accumulator channels
+            if k_slots == 1:
+                ohk = [one]
+            else:
+                ohk = [
+                    (k_f == jnp.float32(k)).astype(jnp.float32)
+                    for k in range(k_slots)
+                ]
+            for k in range(k_slots):
+                # per-lane path cost: the profile that drives pixel sorting
+                out_ref[0, 3 * k_slots + k] = (
+                    out_ref[0, 3 * k_slots + k] + alive * ohk[k]
+                )
             alive_b = alive > 0.0
 
             # --- closest-hit scan (shader.frag:145-196), vectorized ---
@@ -485,16 +556,37 @@ def _make_kernel(
                 con_b = jnp.where(exhausted, cb, con_b)
             scat_cont = scat & jnp.logical_not(exhausted)
 
-            acc_r = acc_r + con_r
-            acc_g = acc_g + con_g
-            acc_b = acc_b + con_b
+            # fold contributions into the lane's CURRENT pixel slot (con_*
+            # are zero on non-terminating and dead lanes). Emits LINEAR
+            # SUMS; scaling + gamma happen in the host-side finalize so
+            # spp chunks can be accumulated across launches. Per-pixel
+            # addition order equals the per-sample order of the register-
+            # accumulator form — bitwise-identical images.
+            for k in range(k_slots):
+                out_ref[0, 3 * k] = out_ref[0, 3 * k] + con_r * ohk[k]
+                out_ref[0, 3 * k + 1] = (
+                    out_ref[0, 3 * k + 1] + con_g * ohk[k]
+                )
+                out_ref[0, 3 * k + 2] = (
+                    out_ref[0, 3 * k + 2] + con_b * ohk[k]
+                )
 
             # regeneration: terminated lanes with samples remaining start
-            # the next sample this iteration; everyone else keeps bouncing
+            # the next sample this iteration; lanes whose samples ran out
+            # advance to their next pixel slot (monotone into the padding
+            # suffix, so an out-of-image slot ends the lane for good)
             done = alive_b & jnp.logical_not(scat_cont)
             s_f = s_f + done.astype(jnp.float32)
-            regen = done & (s_f < jnp.float32(spp)) & (in_image > 0.0)
-            nox, noy, noz, ndx2, ndy2, ndz2 = gen_ray(s_f)
+            if k_slots > 1:
+                adv = done & (s_f >= jnp.float32(spp))
+                k_f = k_f + adv.astype(jnp.float32)
+                s_f = jnp.where(adv, zero, s_f)
+            px2, py2, pix2, in2 = pixel_state(k_f)
+            regen = (
+                done & (s_f < jnp.float32(spp))
+                & (k_f < jnp.float32(k_slots)) & in2
+            )
+            nox, noy, noz, ndx2, ndy2, ndz2 = gen_ray(s_f, px2, py2, pix2)
 
             ox = jnp.where(scat_cont, hpx, ox)
             oy = jnp.where(scat_cont, hpy, oy)
@@ -516,25 +608,17 @@ def _make_kernel(
             alive = (scat_cont | regen).astype(jnp.float32)
 
             return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                    acc_r, acc_g, acc_b, s_f, i_f, alive, cost, segs)
+                    s_f, i_f, k_f, alive, segs)
 
         init = (ox, oy, oz, dx, dy, dz, one, one, one,
-                zero, zero, zero, s_f0, zero, in_image, zero,
+                s_f0, zero, zero, in0.astype(jnp.float32),
                 jnp.float32(0.0))
-        (_, _, _, _, _, _, _, _, _,
-         acc_r, acc_g, acc_b, _, _, _, cost, segs) = jax.lax.while_loop(
-            live_cond, body, init
-        )
-        # emit LINEAR SUMS; scaling + gamma happen in the host-side finalize
-        # so spp chunks can be accumulated across launches
-        out_ref[0, 0] = acc_r
-        out_ref[0, 1] = acc_g
-        out_ref[0, 2] = acc_b
-        # channel 3 carries this tile's segment count (scalar, broadcast) —
-        # SMEM (1,1) output blocks aren't supported by the TPU lowering
-        out_ref[0, 3] = jnp.full((r_sub, LANES), segs)
-        # channel 4: per-lane path cost (live iterations) for sorting
-        out_ref[0, 4] = cost
+        final = jax.lax.while_loop(live_cond, body, init)
+        segs = final[13]
+        # last channel carries this tile's segment count (scalar,
+        # broadcast) — SMEM (1,1) output blocks aren't supported by the
+        # TPU lowering
+        out_ref[0, 4 * k_slots] = jnp.full((r_sub, LANES), segs)
 
     return kernel
 
@@ -655,14 +739,7 @@ def _camera_uniforms(dcam: DerivedCamera) -> jnp.ndarray:
     return jnp.pad(u, (0, 32 - u.shape[0]))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "local_height",
-    ),
-)
-def _render_chunk(
+def _render_chunk_impl(
     scene: Scene,
     dcam: DerivedCamera,
     seed,
@@ -676,22 +753,27 @@ def _render_chunk(
     local_height: int | None = None,
     row_offset=0,
     pixel_map=None,
+    k_slots: int = 1,
 ):
-    """One kernel launch tracing chunk_spp samples; returns (nt,5,r,l)
-    linear color sums, per-tile segment counts in channel 3, and per-lane
-    path cost in channel 4. Tiles are rectangular (r_sub x LANES)-pixel
-    blocks over a padded 2-D grid.
+    """One kernel launch tracing chunk_spp samples of k_slots pixels per
+    lane; returns (nt, 4K+1, r, l): channels [0,3K) slot-major linear rgb
+    sums, [3K,4K) per-slot per-lane path cost, 4K per-tile segment counts.
+    Tiles are rectangular (k_slots·r_sub x LANES)-pixel blocks over a
+    padded 2-D grid.
 
     ``local_height``/``row_offset`` render a horizontal band of the full
     image (the shard_map rows-sharded path); geometry and RNG match the
-    single-chip render exactly. ``pixel_map`` (nt, 2, r_sub, LANES) i32
-    overrides the lane→pixel assignment (profile-guided sorting)."""
+    single-chip render exactly. ``pixel_map`` (nt, 2, k_slots, r_sub,
+    LANES) i32 overrides the lane→pixel assignment (profile-guided
+    sorting)."""
     tiles_x = pl.cdiv(width, LANES)
-    tiles_y = pl.cdiv(local_height or height, r_sub)
+    tiles_y = pl.cdiv(local_height or height, k_slots * r_sub)
     nt = tiles_x * tiles_y
+    nc = 4 * k_slots + 1
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
         height, opts, tiles_x, permuted=pixel_map is not None,
+        k_slots=k_slots,
     )
     seeds = jnp.stack([
         seed,
@@ -708,117 +790,173 @@ def _render_chunk(
             _params_table_t(scene)]
     if pixel_map is not None:
         in_specs.append(
-            pl.BlockSpec((1, 2, r_sub, LANES), lambda i: (i, 0, 0, 0))
+            pl.BlockSpec(
+                (1, 2, k_slots, r_sub, LANES), lambda i: (i, 0, 0, 0, 0)
+            )
         )
         args.append(pixel_map)
     return pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 5, r_sub, LANES), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt, 5, r_sub, LANES), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, nc, r_sub, LANES), lambda i: (i, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt, nc, r_sub, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((16, r_sub, LANES), jnp.float32)],
         interpret=interpret,
     )(*args)
 
 
+_render_chunk = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+        "local_height", "k_slots",
+    ),
+)(_render_chunk_impl)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "gamma", "r_sub")
+    jax.jit,
+    static_argnames=(
+        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+        "k_slots", "plan_next",
+    ),
+    donate_argnums=(4, 5),
+)
+def _render_chunk_sorted(
+    scene: Scene,
+    dcam: DerivedCamera,
+    seed,
+    sample_offset,
+    acc,
+    segments,
+    inv,
+    pixel_map,
+    width: int,
+    height: int,
+    chunk_spp: int,
+    opts: TraceOptions,
+    r_sub: int,
+    interpret: bool,
+    k_slots: int,
+    plan_next: bool,
+):
+    """One sorted-layout chunk FUSED with its accumulate + next-chunk plan:
+    a single device program per chunk instead of two, halving the ~50-90 ms
+    per-dispatch tunnel latency the multi-chunk loop pays. The final chunk
+    passes ``plan_next=False`` and skips the two argsorts it doesn't need.
+
+    Returns (acc, segments, inv_next, pixel_map_next) — the latter two are
+    passed through unchanged when ``plan_next`` is off."""
+    out = _render_chunk_impl(
+        scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
+        r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
+    )
+    flat = (
+        _rgbc_channels(out, k_slots)
+        .transpose(2, 0, 1, 3, 4)
+        .reshape(4, -1)
+    )
+    acc = acc + jnp.take(flat, inv, axis=1)
+    segments = segments + jnp.sum(out[:, 4 * k_slots, 0, 0])
+    if plan_next:
+        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+    return acc, segments, inv, pixel_map
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "gamma", "r_sub", "k_slots"),
 )
 def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
-              r_sub: int):
-    """(nt, 4, r_sub, LANES) rectangular-tile sums → (H, W, 3) image."""
+              r_sub: int, k_slots: int = 1):
+    """(nt, 4K+1, r_sub, LANES) rectangular-tile sums → (H, W, 3) image."""
     tiles_x = pl.cdiv(width, LANES)
-    tiles_y = pl.cdiv(height, r_sub)
+    tiles_y = pl.cdiv(height, k_slots * r_sub)
     image = (
-        acc[:, :3]
-        .reshape(tiles_y, tiles_x, 3, r_sub, LANES)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(tiles_y * r_sub, tiles_x * LANES, 3)[:height, :width]
+        acc[:, : 3 * k_slots]
+        .reshape(tiles_y, tiles_x, k_slots, 3, r_sub, LANES)
+        .transpose(0, 2, 4, 1, 5, 3)
+        .reshape(tiles_y * k_slots * r_sub, tiles_x * LANES, 3)
+        [:height, :width]
     ) * (1.0 / spp)
     if gamma:
         image = jnp.sqrt(jnp.maximum(image, 0.0))
-    return image, jnp.sum(acc[:, 3, 0, 0])
+    return image, jnp.sum(acc[:, 4 * k_slots, 0, 0])
 
 
-def _tiles_to_flat(acc, width: int, height: int, r_sub: int):
-    """(nt, C, r_sub, LANES) tile blocks → (C, Hp·Wp) in pixel-gid order
-    (gid = ipy·Wp + ipx over the PADDED tile grid)."""
+def _rgbc_channels(out, k_slots: int):
+    """(nt, 4K+1, r, l) kernel output → (nt, K, 4, r, l): per pixel slot,
+    [rgb sums, path cost]."""
+    nt, _, r, l = out.shape
+    rgb = out[:, : 3 * k_slots].reshape(nt, k_slots, 3, r, l)
+    cost = out[:, 3 * k_slots : 4 * k_slots].reshape(nt, k_slots, 1, r, l)
+    return jnp.concatenate([rgb, cost], axis=2)
+
+
+def _tiles_to_flat(out, width: int, height: int, r_sub: int, k_slots: int):
+    """Kernel output tile blocks → (4, Hp·Wp) [rgb, cost] in pixel-gid
+    order (gid = ipy·Wp + ipx over the PADDED tile grid)."""
     tiles_x = pl.cdiv(width, LANES)
-    tiles_y = pl.cdiv(height, r_sub)
-    c = acc.shape[1]
+    tiles_y = pl.cdiv(height, k_slots * r_sub)
     return (
-        acc.reshape(tiles_y, tiles_x, c, r_sub, LANES)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(c, tiles_y * r_sub * tiles_x * LANES)
+        _rgbc_channels(out, k_slots)
+        .reshape(tiles_y, tiles_x, k_slots, 4, r_sub, LANES)
+        .transpose(3, 0, 2, 4, 1, 5)
+        .reshape(4, tiles_y * k_slots * r_sub * tiles_x * LANES)
     )
 
 
-def _plan_from_cost(cost, width: int, r_sub: int):
+def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int):
     """Per-pixel cumulative cost → (inv, pixel_map): pixels sorted by
-    descending measured path cost, packed into tiles in that order."""
+    descending measured path cost, packed into tiles in that order. A
+    lane's K slots take ranks (t·K + k)·N + pos for its in-tile position
+    pos — K nearby draws from the sorted cost curve, so lane TOTALS
+    equalize even where single-pixel predictions miss."""
     order = jnp.argsort(-cost)  # expensive pixels first; padding (0) last
     inv = jnp.argsort(order)
     wp = pl.cdiv(width, LANES) * LANES
     ipx = (order % wp).astype(jnp.int32)
     ipy = (order // wp).astype(jnp.int32)
-    nt = order.shape[0] // (r_sub * LANES)
+    nt = order.shape[0] // (k_slots * r_sub * LANES)
     pixel_map = (
         jnp.stack([ipx, ipy], axis=0)
-        .reshape(2, nt, r_sub, LANES)
-        .transpose(1, 0, 2, 3)
+        .reshape(2, nt, k_slots, r_sub, LANES)
+        .transpose(1, 0, 2, 3, 4)
     )
     return inv, pixel_map
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "r_sub")
+    jax.jit, static_argnames=("width", "height", "r_sub", "k_slots")
 )
-def _profile_to_plan(out0, width: int, height: int, r_sub: int):
+def _profile_to_plan(out0, width: int, height: int, r_sub: int,
+                     k_slots: int):
     """Turn the profiling chunk's output into the first sorted-render plan.
 
     Returns (acc (4, Hp·Wp) pixel-space sums: rgb + cumulative cost,
     segments scalar, inv (Hp·Wp,) inverse lane→pixel permutation,
-    pixel_map (nt, 2, r_sub, LANES) i32 per-lane [ipx, ipy] assignment)."""
-    acc = _tiles_to_flat(
-        jnp.concatenate([out0[:, :3], out0[:, 4:5]], axis=1),
-        width, height, r_sub,
-    )
-    segments = jnp.sum(out0[:, 3, 0, 0])
-    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub)
+    pixel_map (nt, 2, k_slots, r_sub, LANES) i32 per-lane [ipx, ipy]
+    assignment)."""
+    acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
+    segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
+    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
     return acc, segments, inv, pixel_map
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "r_sub")
-)
-def _accum_and_plan(acc, segments, out, inv, width: int, r_sub: int):
-    """Fold a sorted-layout chunk into the pixel-space accumulator (lane j
-    rendered pixel order[j], so gathering by ``inv`` restores gid order)
-    and re-plan the NEXT chunk from the cumulative per-pixel cost — each
-    chunk's sort key averages every sample rendered so far, so the
-    estimator sharpens as the render progresses."""
-    flat = (
-        jnp.concatenate([out[:, :3], out[:, 4:5]], axis=1)
-        .transpose(1, 0, 2, 3)
-        .reshape(4, -1)
-    )
-    acc = acc + jnp.take(flat, inv, axis=1)
-    segments = segments + jnp.sum(out[:, 3, 0, 0])
-    inv_next, pixel_map_next = _plan_from_cost(acc[3], width, r_sub)
-    return acc, segments, inv_next, pixel_map_next
-
-
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "gamma", "r_sub")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "gamma", "r_sub", "k_slots"),
 )
 def _finalize_flat(acc, width: int, height: int, spp: int, gamma: bool,
-                   r_sub: int):
+                   r_sub: int, k_slots: int):
     """(3, Hp·Wp) pixel-space sums → (H, W, 3) image."""
     tiles_x = pl.cdiv(width, LANES)
-    tiles_y = pl.cdiv(height, r_sub)
+    hp = pl.cdiv(height, k_slots * r_sub) * k_slots * r_sub
     image = (
-        acc.reshape(3, tiles_y * r_sub, tiles_x * LANES)
+        acc.reshape(3, hp, tiles_x * LANES)
         .transpose(1, 2, 0)[:height, :width]
     ) * (1.0 / spp)
     if gamma:
@@ -854,6 +992,7 @@ def _render_pallas(
     return_stats: bool,
     r_sub: int,
     interpret: bool,
+    k_slots: int,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
@@ -872,12 +1011,12 @@ def _render_pallas(
             cs = min(chunk if offset == 0 else 2 * chunk, spp - offset)
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret,
+                interpret, k_slots=k_slots,
             )
             acc = out if acc is None else acc + out
             offset += cs
         image, segments = _finalize(acc, width, height, spp, opts.gamma,
-                                    r_sub)
+                                    r_sub, k_slots)
         if return_stats:
             return image, {"segments": segments}
         return image
@@ -891,9 +1030,10 @@ def _render_pallas(
     # identical to the unsorted render.
     out0 = _render_chunk(
         scene, dcam, seed, 0, width, height, chunk, opts, r_sub, interpret,
+        k_slots=k_slots,
     )
     acc, segments, inv, pixel_map = _profile_to_plan(
-        out0, width, height, r_sub
+        out0, width, height, r_sub, k_slots
     )
     offset = chunk
     while offset < spp:
@@ -902,15 +1042,14 @@ def _render_pallas(
         # UNSORTED mirror schedule inside the measured fault-free launch
         # envelope too (3.2 s); 3x measured no rr5 gain over 2x.
         cs = min(2 * chunk, spp - offset)
-        out = _render_chunk(
-            scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-            interpret, pixel_map=pixel_map,
-        )
-        acc, segments, inv, pixel_map = _accum_and_plan(
-            acc, segments, out, inv, width, r_sub
+        acc, segments, inv, pixel_map = _render_chunk_sorted(
+            scene, dcam, seed, offset, acc, segments, inv, pixel_map,
+            width, height, cs, opts, r_sub, interpret, k_slots,
+            plan_next=offset + cs < spp,
         )
         offset += cs
-    image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub)
+    image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
+                           k_slots)
     if return_stats:
         return image, {"segments": segments}
     return image
@@ -927,6 +1066,7 @@ def render_image_pallas(
     debug=None,
     return_stats: bool = False,
     r_sub: int = DEFAULT_R_SUB,
+    k_slots: int = 4,
 ):
     """Pallas megakernel render.
 
@@ -944,7 +1084,11 @@ def render_image_pallas(
     # small tiles for small images
     while r_sub > 8 and width * height < r_sub * LANES:
         r_sub //= 2
+    # keep each tile's pixel block within the image height (padding lanes
+    # are free, but all-padding row bands would just shrink the grid)
+    while k_slots > 1 and height < k_slots * r_sub:
+        k_slots //= 2
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
-        interpret,
+        interpret, k_slots,
     )

@@ -146,6 +146,34 @@ def test_segments_accounting():
     assert float(stats["segments"]) == 64 * 32  # one segment per ray
 
 
+@pytest.mark.parametrize("sort_pixels", [True, False])
+def test_k_slots_bitwise_invariance(monkeypatch, sort_pixels):
+    """K-slot virtual tiles (each lane walks K pixels inside the one
+    regeneration while_loop) are pure layout: per-pixel RNG streams and
+    per-pixel accumulation order depend only on (ipx, ipy), so every K
+    must produce the bit-identical image — sorted and unsorted."""
+    import dataclasses
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda spp, *a, **k: min(spp, 3))
+    scene, cam, *_ = presets.get_config("cover", 256, 64)
+    dcam = derive_camera(cam)
+    opts = TraceOptions(
+        max_depth=8, russian_roulette_depth=5, sort_pixels=sort_pixels
+    )
+    key = jax.random.PRNGKey(7)
+    imgs, segs = [], []
+    for k_slots in (1, 2, 4):
+        img, stats = pk.render_image_pallas(
+            scene, dcam, 256, 64, 8, key, opts, return_stats=True,
+            k_slots=k_slots,
+        )
+        imgs.append(np.asarray(img))
+        segs.append(float(stats["segments"]))
+    assert np.array_equal(imgs[0], imgs[1])
+    assert np.array_equal(imgs[0], imgs[2])
+    assert segs[0] == segs[1] == segs[2]
+
+
 def test_sorted_multichunk_bitwise_equals_unsorted(monkeypatch):
     """Profile-guided pixel sorting (multi-chunk renders re-pack pixels by
     measured path cost) must not change the image by a single bit: per-pixel

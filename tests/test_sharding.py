@@ -124,7 +124,8 @@ def test_sharded_pallas_matches_single_chip(setup, key):
         scene, cam, W, H, 4, key, make_mesh((4, 2)), opts, return_stats=True
     )
     single = pk._render_pallas(
-        scene, derive_camera(cam), key, W, H, 4, opts, False, 8, True
+        scene, derive_camera(cam), key, W, H, 4, opts, False, 8, True,
+        k_slots=1,
     )
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(single), atol=1e-6
