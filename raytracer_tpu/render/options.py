@@ -46,6 +46,13 @@ class TraceOptions:
     #: (a tile runs until its most expensive lane finishes; sorting turns
     #: the per-tile max into ≈ the mean). Bitwise-identical output.
     sort_pixels: bool = True
+    #: static scene analysis for the Pallas scan: spheres that provably
+    #: cannot contain a ray origin (not glass, no other sphere's surface
+    #: inside them, camera outside) skip the far-root fallback of the
+    #: quadratic — the reference's near→far logic (shader.frag:157-165)
+    #: only ever selects a far root when the ray starts inside the sphere.
+    #: Applies to concrete (non-traced) scenes on the offline path.
+    split_scan: bool = True
 
 
 @flax.struct.dataclass

@@ -130,7 +130,13 @@ def _make_kernel(
     tiles_x: int,
     permuted: bool = False,
     k_slots: int = 1,
+    g_full: int | None = None,
 ):
+    # slots [0, g_full) run the full near→far root fallback; slots beyond
+    # are statically known to never contain a ray origin (see
+    # _containable_split), so their far root is never the closest
+    # legitimate hit — near-root-only saves 3 of ~24 scan ops per slot
+    g_full = s_pad if g_full is None else min(g_full, s_pad)
     inv_w = 1.0 / width
     inv_h = 1.0 / height
     # draws per bounce: 7 material + safety; per sample: 4 camera + bounces
@@ -305,9 +311,20 @@ def _make_kernel(
             alive = state[12]
             return jnp.max(alive) > 0.0
 
+        has_self = g_full < s_pad
+
         def body(state):
             (ox, oy, oz, dx, dy, dz, cr, cg, cb,
-             s_f, i_f, k_f, alive, segs) = state
+             s_f, i_f, k_f, alive, segs, *pp) = state
+            if has_self:
+                # the sphere this lane's origin sits on (last bounce's
+                # winner): exact far-root SELF-test below restores the
+                # one legitimate far-root case the near-only scan drops —
+                # a path re-entering the sphere it just hit (glass-free
+                # scenes still do this through f32 hit-point roundoff:
+                # measured ±4e-4 penetration on a radius-30 sphere)
+                (p_cx, p_cy, p_cz, p_ir, p_k1, p_mt,
+                 p_ar, p_ag, p_ab, p_fz, p_rf) = pp
             _, _, pix, _ = pixel_state(k_f)
             ctr0 = (
                 (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
@@ -353,7 +370,7 @@ def _make_kernel(
             # argmin over q equals argmin over t and the two per-sphere
             # divisions (root·inv_a) collapse into one per-row multiply
             min_t_a = MIN_T * a
-            bt_rows = []
+            bq_rows = []
             for row in range(r_sub):
                 dxr = dx[row : row + 1]
                 dyr = dy[row : row + 1]
@@ -387,11 +404,29 @@ def _make_kernel(
                     disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
                 )
                 q_near = nb - sq
-                q_far = nb + sq
-                q = jnp.where(q_near >= min_q, q_near, q_far)
-                cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
+                if g_full >= s_pad:
+                    q_far = nb + sq
+                    q = jnp.where(q_near >= min_q, q_near, q_far)
+                    cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
+                elif g_full == 0:
+                    cand = jnp.where(
+                        q_near >= min_q, q_near, jnp.float32(3e38)
+                    )
+                else:
+                    # split scan: full fallback for the containable
+                    # prefix, near-only for the rest (g_full is sublane-
+                    # aligned, so both halves are canonically tiled)
+                    qn_g = q_near[:g_full]
+                    qf_g = nb[:g_full] + sq[:g_full]
+                    qg = jnp.where(qn_g >= min_q, qn_g, qf_g)
+                    cand_g = jnp.where(qg >= min_q, qg, jnp.float32(3e38))
+                    qn_r = q_near[g_full:]
+                    cand_r = jnp.where(
+                        qn_r >= min_q, qn_r, jnp.float32(3e38)
+                    )
+                    cand = jnp.concatenate([cand_g, cand_r], axis=0)
                 bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
-                bt_rows.append(bq * inv_a_r)
+                bq_rows.append(bq)
                 # one-hot winner mask (ties: both fire — only on exactly
                 # coincident surfaces). All-fill (no-hit) columns gather
                 # the sum of every slot's params — finite garbage that is
@@ -416,13 +451,7 @@ def _make_kernel(
                     )
                 )
 
-            best_t = jnp.concatenate(bt_rows, axis=0)
-            # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
-            # the viewport basis, fill/|d|² stays astronomically above
-            # MAX_T; detect via t, NOT via the one-hot (an all-fill
-            # column ties at the fill value)
-            hit = best_t < jnp.float32(1e20)
-            best_t = jnp.where(hit, best_t, MAX_T)
+            best_q = jnp.concatenate(bq_rows, axis=0)
             scx = gat_ref[0]
             scy = gat_ref[1]
             scz = gat_ref[2]
@@ -433,6 +462,45 @@ def _make_kernel(
             al_b = gat_ref[7]
             fuzz = gat_ref[8]
             refr = gat_ref[9]
+            if has_self:
+                # exact per-lane far-root test of the LAST-HIT sphere —
+                # arithmetic mirrors the scan exactly (same op order, k1
+                # gathered from the table), so when that sphere is in the
+                # containable prefix the duplicate candidate ties bitwise
+                # and the strict < keeps the scan's winner
+                s_cdd = _dot3(p_cx, p_cy, p_cz, dx, dy, dz)
+                s_cdo = _dot3(p_cx, p_cy, p_cz, ox, oy, oz)
+                s_nb = s_cdd - o_dot_d
+                s_cc = o_dot_o - 2.0 * s_cdo + p_k1
+                s_disc = s_nb * s_nb - a * s_cc
+                s_sq = jnp.where(
+                    s_disc >= 0.0, jnp.sqrt(jnp.abs(s_disc)),
+                    jnp.float32(-3e38),
+                )
+                s_qf = s_nb + s_sq
+                # valid only mid-path (i_f >= 1: origin is a hit point)
+                self_ok = (
+                    (i_f >= 1.0) & (s_qf >= min_t_a) & (s_qf < best_q)
+                )
+                best_q = jnp.where(self_ok, s_qf, best_q)
+                k1_w = jnp.where(self_ok, p_k1, gat_ref[10])
+                scx = jnp.where(self_ok, p_cx, scx)
+                scy = jnp.where(self_ok, p_cy, scy)
+                scz = jnp.where(self_ok, p_cz, scz)
+                inv_r = jnp.where(self_ok, p_ir, inv_r)
+                mat = jnp.where(self_ok, p_mt, mat)
+                al_r = jnp.where(self_ok, p_ar, al_r)
+                al_g = jnp.where(self_ok, p_ag, al_g)
+                al_b = jnp.where(self_ok, p_ab, al_b)
+                fuzz = jnp.where(self_ok, p_fz, fuzz)
+                refr = jnp.where(self_ok, p_rf, refr)
+            best_t = best_q * inv_a
+            # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
+            # the viewport basis, fill/|d|² stays astronomically above
+            # MAX_T; detect via t, NOT via the one-hot (an all-fill
+            # column ties at the fill value)
+            hit = best_t < jnp.float32(1e20)
+            best_t = jnp.where(hit, best_t, MAX_T)
 
             # hit point + front-face-corrected normal (shader.frag:166-171)
             hpx = ox + best_t * dx
@@ -607,12 +675,34 @@ def _make_kernel(
             i_f = jnp.where(regen, zero, i_f)
             alive = (scat_cont | regen).astype(jnp.float32)
 
+            if has_self:
+                # remember the winner this lane just bounced off: the
+                # origin now sits on ITS surface, so next iteration's
+                # self-test targets it (regen lanes reset i_f to 0, which
+                # masks the stale values until their first hit)
+                p_cx = jnp.where(scat_cont, scx, p_cx)
+                p_cy = jnp.where(scat_cont, scy, p_cy)
+                p_cz = jnp.where(scat_cont, scz, p_cz)
+                p_ir = jnp.where(scat_cont, inv_r, p_ir)
+                p_k1 = jnp.where(scat_cont, k1_w, p_k1)
+                p_mt = jnp.where(scat_cont, mat, p_mt)
+                p_ar = jnp.where(scat_cont, al_r, p_ar)
+                p_ag = jnp.where(scat_cont, al_g, p_ag)
+                p_ab = jnp.where(scat_cont, al_b, p_ab)
+                p_fz = jnp.where(scat_cont, fuzz, p_fz)
+                p_rf = jnp.where(scat_cont, refr, p_rf)
+                return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                        s_f, i_f, k_f, alive, segs,
+                        p_cx, p_cy, p_cz, p_ir, p_k1, p_mt,
+                        p_ar, p_ag, p_ab, p_fz, p_rf)
             return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
                     s_f, i_f, k_f, alive, segs)
 
         init = (ox, oy, oz, dx, dy, dz, one, one, one,
                 s_f0, zero, zero, in0.astype(jnp.float32),
                 jnp.float32(0.0))
+        if has_self:
+            init = init + (zero,) * 11
         final = jax.lax.while_loop(live_cond, body, init)
         segs = final[13]
         # last channel carries this tile's segment count (scalar,
@@ -633,6 +723,18 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
     three single-pass DEFAULT-precision MXU matmuls against a one-hot
     reconstruct the exact f32 parameter — half the passes of HIGHEST."""
     s_pad = _pad_spheres(scene.count)
+    # row 10 is k1 = |c|^2 - r^2, computed EXACTLY as _sphere_table does:
+    # the split-scan self-test recomputes this sphere's quadratic from
+    # gathered params and must be bitwise-equal to the scan's
+    act = (scene.active > 0.0) & (
+        jnp.linalg.norm(scene.center, axis=-1) - jnp.abs(scene.radius)
+        <= MAX_T
+    )
+    c_act = jnp.where(act[:, None], scene.center, 0.0)
+    k1 = jnp.where(
+        act, jnp.sum(c_act * c_act, axis=-1) - scene.radius * scene.radius,
+        1.0,
+    )
     rows = jnp.stack(
         [
             scene.center[:, 0],
@@ -645,9 +747,10 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
             scene.albedo[:, 2],
             scene.fuzz,
             scene.refraction_index,
+            k1,
         ]
     ).astype(jnp.float32)
-    rows = jnp.pad(rows, ((0, 6), (0, s_pad - scene.count)))
+    rows = jnp.pad(rows, ((0, 5), (0, s_pad - scene.count)))
     # The bf16 rounding is done with integer bit ops, NOT astype round-trips:
     # inside jit, XLA's excess-precision simplifier folds f32->bf16->f32
     # conversion pairs into the identity, which silently turns the split
@@ -673,6 +776,89 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
 def _pad_spheres(n: int) -> int:
     """Sphere rows pad to a sublane multiple (min f32 tile is (8, 128))."""
     return max(8, -(-n // 8) * 8)
+
+
+def _containable_split(scene: Scene, dcam: DerivedCamera, opts: TraceOptions):
+    """Static scene analysis: which spheres can contain a ray origin?
+
+    The quadratic's far-root fallback (shader.frag:157-165) is only ever
+    the closest legitimate hit when the ray STARTS strictly inside the
+    sphere. Ray origins are (a) the camera origin ± its lens disc and
+    (b) hit points, which lie on sphere surfaces. So sphere j is
+    "containable" iff it is glass (rays legally refract into it or
+    reflect inside, and its exit needs the far root), another ACTIVE
+    sphere's surface passes through its interior (a bounce off sphere i
+    can then start inside j), or the camera's lens disc reaches inside it.
+    Everything else can skip the far-root ops in the scan.
+
+    Returns ``(perm, g_full)`` — a sphere permutation putting containable
+    spheres first and the (sublane-aligned) count of full-logic slots —
+    or ``None`` when the scene/camera are traced values (inside jit: no
+    static analysis; the kernel keeps full logic) or analysis is disabled.
+
+    Caveat (documented in FIDELITY.md): hit points computed in f32 can
+    land O(1e-4·scale) inside a sphere whose surface is merely TANGENT to
+    the one that was hit; the pairwise test uses a 1e-4-relative margin so
+    exact tangencies stay containable, but a separated-but-closer-than-
+    roundoff pair could in principle differ from the full scan in a
+    measure-zero set of samples (measured 0 differing pixels on the
+    BASELINE scenes at 100 spp).
+    """
+    flags = _containable_flags(scene, dcam, opts)
+    if flags is None:
+        return None
+    import numpy as np
+
+    # containable first; stable so relative order is otherwise preserved
+    perm = np.argsort(~flags, kind="stable")
+    n_cont = int(flags.sum())
+    g_full = min(
+        _pad_spheres(flags.shape[0]),
+        _pad_spheres(max(1, n_cont)) if n_cont else 0,
+    )
+    return perm, g_full
+
+
+def _containable_flags(scene: Scene, dcam: DerivedCamera,
+                       opts: TraceOptions):
+    """Per-sphere bool array of :func:`_containable_split`'s analysis, or
+    None for traced inputs / disabled analysis."""
+    import numpy as np
+
+    if not opts.split_scan:
+        return None
+    try:
+        c = np.asarray(scene.center, np.float64)
+        r = np.abs(np.asarray(scene.radius, np.float64))
+        act = np.asarray(scene.active, np.float64) > 0.0
+        mat = np.asarray(scene.material_type)
+        cam = np.asarray(dcam.origin, np.float64)
+        lens = float(np.asarray(dcam.lens_radius))
+    except Exception:  # traced values inside jit — no static analysis
+        return None
+    # f32 hit points on sphere i wander off its surface by roughly
+    # eps32 * (|c_i| + r_i) through the quadratic's cancellation
+    # (measured ~1e-6 x scale; 4.3e-4 on a radius-30 sphere 400 from the
+    # origin). delta is that bound with 10x headroom: a bounce off i can
+    # start that deep inside a neighbor, so the pairwise test inflates by
+    # it. Same-sphere re-entry needs no margin — the kernel runs an exact
+    # per-lane far-root SELF-test of the last-hit sphere every iteration.
+    delta = 1e-5 * (np.linalg.norm(c, axis=-1) + r + 1.0)
+    # glass spheres (material code 2, static/shader.frag:47)
+    containable = act & (mat == 2)
+    # camera (or any lens sample) inside
+    containable |= act & (
+        np.linalg.norm(c - cam[None, :], axis=-1) < r + lens + 1e-4
+    )
+    # another active sphere's surface inside: shell_i crosses ball_j
+    # iff | |ci-cj| - ri | < rj (inflated by delta_i so roundoff-deep
+    # landings count; exact tangencies are inside the margin)
+    dist = np.linalg.norm(c[:, None, :] - c[None, :, :], axis=-1)
+    crosses = np.abs(dist - r[:, None]) < (r[None, :] + delta[:, None]
+                                           + 1e-4)
+    np.fill_diagonal(crosses, False)
+    containable |= act & (crosses & act[:, None]).any(axis=0)
+    return containable
 
 
 def _sphere_table(scene: Scene) -> jnp.ndarray:
@@ -754,6 +940,7 @@ def _render_chunk_impl(
     row_offset=0,
     pixel_map=None,
     k_slots: int = 1,
+    g_full: int | None = None,
 ):
     """One kernel launch tracing chunk_spp samples of k_slots pixels per
     lane; returns (nt, 4K+1, r, l): channels [0,3K) slot-major linear rgb
@@ -773,7 +960,7 @@ def _render_chunk_impl(
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
         height, opts, tiles_x, permuted=pixel_map is not None,
-        k_slots=k_slots,
+        k_slots=k_slots, g_full=g_full,
     )
     seeds = jnp.stack([
         seed,
@@ -812,7 +999,7 @@ _render_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "local_height", "k_slots",
+        "local_height", "k_slots", "g_full",
     ),
 )(_render_chunk_impl)
 
@@ -821,7 +1008,40 @@ _render_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "plan_next",
+        "k_slots", "g_full",
+    ),
+)
+def _render_chunk_profiled(
+    scene: Scene,
+    dcam: DerivedCamera,
+    seed,
+    width: int,
+    height: int,
+    chunk_spp: int,
+    opts: TraceOptions,
+    r_sub: int,
+    interpret: bool,
+    k_slots: int,
+    g_full: int | None,
+):
+    """The profile chunk FUSED with its plan: one device program renders
+    the first (unsorted) chunk and turns its per-pixel path costs into the
+    first sorted-render plan — no intermediate dispatch."""
+    out0 = _render_chunk_impl(
+        scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
+        interpret, k_slots=k_slots, g_full=g_full,
+    )
+    acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
+    segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
+    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+    return acc, segments, inv, pixel_map
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+        "k_slots", "plan_next", "g_full",
     ),
     donate_argnums=(4, 5),
 )
@@ -842,6 +1062,7 @@ def _render_chunk_sorted(
     interpret: bool,
     k_slots: int,
     plan_next: bool,
+    g_full: int | None,
 ):
     """One sorted-layout chunk FUSED with its accumulate + next-chunk plan:
     a single device program per chunk instead of two, halving the ~50-90 ms
@@ -853,6 +1074,7 @@ def _render_chunk_sorted(
     out = _render_chunk_impl(
         scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
         r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
+        g_full=g_full,
     )
     flat = (
         _rgbc_channels(out, k_slots)
@@ -997,21 +1219,37 @@ def _render_pallas(
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
 
+    # static far-root analysis (concrete scenes only): permute containable
+    # spheres to the front so the scan's near-only suffix is one aligned
+    # block. Pure layout — only argmin TIE-breaking among exactly
+    # coincident surfaces can differ, as with any sphere reordering.
+    split = _containable_split(scene, dcam, opts)
+    if split is not None:
+        perm, g_full = split
+        scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
+    else:
+        g_full = None
+
     chunk = _pick_chunk_spp(
         spp, width * height, scene.count, opts.max_depth,
         opts.russian_roulette_depth,
     )
+    # the profile chunk runs UNSORTED (measured 75% tile utilization vs
+    # 93-95% sorted on the cover scene), so keep it short — half the base
+    # budget profiles plenty (the cumulative re-sort sharpens every later
+    # chunk anyway) and moves ~6% of the work into sorted launches
+    chunk0 = max(1, chunk // 2) if spp > chunk else spp
     if spp <= chunk or not opts.sort_pixels:
         acc = None
         offset = 0
         while offset < spp:
-            # same chunk schedule as the sorted path (first chunk `chunk`,
-            # then 2x) so sorted and unsorted renders accumulate per-pixel
-            # sums in identical order — bitwise-equal images
-            cs = min(chunk if offset == 0 else 2 * chunk, spp - offset)
+            # same chunk schedule as the sorted path (first chunk `chunk0`,
+            # then 2x base) so sorted and unsorted renders accumulate
+            # per-pixel sums in identical order — bitwise-equal images
+            cs = min(chunk0 if offset == 0 else 2 * chunk, spp - offset)
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret, k_slots=k_slots,
+                interpret, k_slots=k_slots, g_full=g_full,
             )
             acc = out if acc is None else acc + out
             offset += cs
@@ -1028,14 +1266,11 @@ def _render_pallas(
     # mean. Per-pixel math depends only on (ipx, ipy), and chunks are
     # accumulated per pixel in the same order, so the image is bitwise
     # identical to the unsorted render.
-    out0 = _render_chunk(
-        scene, dcam, seed, 0, width, height, chunk, opts, r_sub, interpret,
-        k_slots=k_slots,
+    acc, segments, inv, pixel_map = _render_chunk_profiled(
+        scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
+        k_slots, g_full,
     )
-    acc, segments, inv, pixel_map = _profile_to_plan(
-        out0, width, height, r_sub, k_slots
-    )
-    offset = chunk
+    offset = chunk0
     while offset < spp:
         # sorted chunks have cost-balanced tiles (launch time ≈ mean lane
         # cost, not max), so they can run 2x the base budget. 2x keeps the
@@ -1045,7 +1280,7 @@ def _render_pallas(
         acc, segments, inv, pixel_map = _render_chunk_sorted(
             scene, dcam, seed, offset, acc, segments, inv, pixel_map,
             width, height, cs, opts, r_sub, interpret, k_slots,
-            plan_next=offset + cs < spp,
+            plan_next=offset + cs < spp, g_full=g_full,
         )
         offset += cs
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,

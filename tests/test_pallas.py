@@ -146,6 +146,80 @@ def test_segments_accounting():
     assert float(stats["segments"]) == 64 * 32  # one segment per ray
 
 
+def test_containable_split_analysis():
+    """Static far-root analysis: glass, camera-inside, and overlap all
+    mark spheres containable; isolated diffuse spheres are near-only."""
+    import numpy as np
+
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    scene = make_scene([
+        ((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),  # ground
+        ((0, 1, 0), 1.0, Material.glass(1.5)),                # glass
+        ((0, 1, 0), -0.45, Material.glass(1.5)),              # hollow inner
+        ((4, 3, 0), 1.0, Material.metal((0.7, 0.6, 0.5), 0.0)),  # isolated
+        ((8, 5, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1))),     # isolated
+        ((8, 5.5, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1))),   # overlaps ^
+    ])
+    cam, *_ = (presets.simple_camera(64, 32),)
+    dcam = derive_camera(cam)
+    flags = pk._containable_flags(scene, dcam, TraceOptions())
+    assert flags[1] and flags[2]        # glass
+    assert flags[4] and flags[5]        # overlapping pair
+    assert not flags[3]                 # isolated metal: near-only
+    perm, g_full = pk._containable_split(scene, dcam, TraceOptions())
+    assert g_full % 8 == 0
+    # all containable spheres land in the full-logic prefix
+    prefix = set(np.asarray(perm)[:g_full].tolist())
+    assert {i for i in range(scene.count) if flags[i]} <= prefix
+    # analysis is disabled by the option
+    assert pk._containable_split(
+        scene, dcam, TraceOptions(split_scan=False)
+    ) is None
+
+
+def test_split_scan_bitwise_equals_full():
+    """The near-only scan suffix must not change the image on scenes whose
+    far roots are provably irrelevant (per-sphere arithmetic is slot-
+    independent, so even the containable permutation is value-neutral)."""
+    import dataclasses
+
+    for config in ("demo", "cover"):
+        scene, cam, *_ = presets.get_config(config, 128, 32)
+        dcam = derive_camera(cam)
+        opts = TraceOptions(max_depth=6)
+        key = jax.random.PRNGKey(3)
+        a = np.asarray(pk.render_image_pallas(
+            scene, dcam, 128, 32, 4, key, opts))
+        b = np.asarray(pk.render_image_pallas(
+            scene, dcam, 128, 32, 4, key,
+            dataclasses.replace(opts, split_scan=False)))
+        assert np.array_equal(a, b), (config, np.abs(a - b).max())
+
+
+def test_split_scan_camera_inside_sphere():
+    """A camera inside a big non-glass shell sees its far root (backface)
+    — the camera-inside rule must keep that sphere on full logic."""
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    # camera at origin INSIDE a diffuse shell: every ray must hit it
+    scene = make_scene([((0, 0, 0), 50.0, Material.diffuse((0.8, 0.1, 0.1)))])
+    cam, *_ = (presets.simple_camera(64, 32),)
+    dcam = derive_camera(cam)
+    _, g_full = pk._containable_split(scene, dcam, TraceOptions())
+    assert g_full >= 1  # the shell is containable
+    img, stats = pk.render_image_pallas(
+        scene, dcam, 64, 32, 2, jax.random.PRNGKey(0),
+        TraceOptions(max_depth=3), return_stats=True,
+    )
+    a = np.asarray(img)
+    # everything hits the red-tinted shell interior: no sky blue anywhere
+    assert float(stats["segments"]) > 64 * 32 * 2  # at least one bounce each
+    assert a[..., 0].mean() > a[..., 2].mean() * 0.9
+
+
 @pytest.mark.parametrize("sort_pixels", [True, False])
 def test_k_slots_bitwise_invariance(monkeypatch, sort_pixels):
     """K-slot virtual tiles (each lane walks K pixels inside the one
