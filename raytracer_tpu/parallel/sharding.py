@@ -86,7 +86,7 @@ def _render_shard(
 
 
 def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
-                        local_h, opts, interpret):
+                        local_h, opts, interpret, g_full=None):
     """Chunked Pallas band render for one rows-shard (shared by the offline
     and progressive sharded paths). Constant-size chunks: the profile-sort
     machinery lives outside shard_map, so shards mirror the single-chip
@@ -107,6 +107,7 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
         out = pk._render_chunk(
             scene, dcam, seed, samp0 + offset, width, height, cs, opts,
             8, interpret, local_height=local_h, row_offset=row_offset,
+            g_full=g_full,
         )
         acc = out if acc is None else acc + out
         offset += cs
@@ -153,13 +154,24 @@ def render_image_sharded_pallas(
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
 
+    # static far-root analysis (the scene is concrete here, outside
+    # shard_map): same permutation + near-only suffix as the single-chip
+    # offline path (pallas_kernel._containable_split) — value-neutral
+    # sphere reordering, so shard/single-chip parity is unchanged
+    split = pk._containable_split(scene, dcam, opts)
+    if split is not None:
+        perm, g_full = split
+        scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
+    else:
+        g_full = None
+
     def shard_body(scene, dcam, seed):
         samp0 = (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
         acc = _pallas_band_chunks(
             scene, dcam, seed, samp0, spp_local, width, height, local_h,
-            opts, interpret,
+            opts, interpret, g_full=g_full,
         )
         if spp_axis is not None:
             acc = jax.lax.psum(acc, spp_axis)
