@@ -32,7 +32,7 @@ enable_persistent_cache()
 
 S = 512          # sphere slots (64 strips)
 R_SUB = 8        # ray rows
-ITERS = 2000     # while-loop trips per launch
+ITERS = 20000    # while-loop trips per launch
 MIN_T = 0.001
 
 
