@@ -1203,6 +1203,100 @@ def _pick_chunk_spp(
     return max(1, min(spp, int(1.2e11 // max(per_sample, 1))))
 
 
+def _chunk_schedule(spp: int, chunk: int):
+    """Launch schedule shared by the sorted and unsorted paths.
+
+    Returns ``(sizes, uniform)``: per-launch spp counts summing to spp.
+    The first (profile) chunk runs UNSORTED at roughly half the base
+    budget; the rest are sorted chunks at up to 2x the base budget
+    (balanced tiles ⇒ launch time tracks the mean lane cost). When all
+    sorted chunks can be made EQUAL (``uniform=True``, found for
+    practically every spp), the whole sorted run compiles into ONE
+    device program (lax.scan in ``_render_chunks_scan``) instead of one
+    per chunk — each dispatch through the TPU tunnel costs ~50-90 ms.
+    Both render paths consume the same schedule, so sorted and unsorted
+    images stay bitwise-equal (identical per-pixel accumulation order).
+    """
+    if spp <= chunk:
+        return [spp], False
+    c0p = max(1, chunk // 2)
+    n0 = max(1, -(-(spp - c0p) // (2 * chunk)))
+    for n in range(n0, n0 + 256):
+        cs = -(-(spp - c0p) // n)
+        c0 = spp - n * cs
+        # cs floor: reject degenerate many-tiny-chunk schedules (can
+        # arise for pathological spp/chunk ratios) — legacy loop instead
+        if 1 <= c0 <= chunk and max(1, chunk // 2) <= cs <= 2 * chunk:
+            return [c0] + [cs] * n, True
+    sizes = [c0p]
+    off = c0p
+    while off < spp:
+        c = min(2 * chunk, spp - off)
+        sizes.append(c)
+        off += c
+    return sizes, False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "cs", "n", "opts", "r_sub", "interpret",
+        "k_slots", "g_full",
+    ),
+    # donate only what the outputs can alias (acc, segments): inv and
+    # pixel_map die inside the scan carry
+    donate_argnums=(4, 5),
+)
+def _render_chunks_scan(
+    scene: Scene,
+    dcam: DerivedCamera,
+    seed,
+    chunk0,
+    acc,
+    segments,
+    inv,
+    pixel_map,
+    width: int,
+    height: int,
+    cs: int,
+    n: int,
+    opts: TraceOptions,
+    r_sub: int,
+    interpret: bool,
+    k_slots: int,
+    g_full: int | None,
+):
+    """ALL n uniform sorted chunks in one device program: a lax.scan whose
+    body is render + accumulate + next-chunk re-plan (the same fusion as
+    ``_render_chunk_sorted``, across chunks). Per-pixel accumulation order
+    matches the chunk-at-a-time path exactly, so images are bitwise-equal;
+    the last iteration's plan is computed and discarded (one argsort —
+    noise next to a chunk render)."""
+
+    def body(carry, i):
+        acc, segments, inv, pixel_map = carry
+        out = _render_chunk_impl(
+            scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
+            r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
+            g_full=g_full,
+        )
+        flat = (
+            _rgbc_channels(out, k_slots)
+            .transpose(2, 0, 1, 3, 4)
+            .reshape(4, -1)
+        )
+        acc = acc + jnp.take(flat, inv, axis=1)
+        segments = segments + jnp.sum(out[:, 4 * k_slots, 0, 0])
+        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+        return (acc, segments, inv, pixel_map), None
+
+    (acc, segments, _, _), _ = jax.lax.scan(
+        body, (acc, segments, inv, pixel_map),
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    return acc, segments
+
+
 def _render_pallas(
     scene: Scene,
     dcam: DerivedCamera,
@@ -1235,18 +1329,20 @@ def _render_pallas(
         opts.russian_roulette_depth,
     )
     # the profile chunk runs UNSORTED (measured 75% tile utilization vs
-    # 93-95% sorted on the cover scene), so keep it short — half the base
-    # budget profiles plenty (the cumulative re-sort sharpens every later
-    # chunk anyway) and moves ~6% of the work into sorted launches
-    chunk0 = max(1, chunk // 2) if spp > chunk else spp
+    # 93-95% sorted on the cover scene), so keep it short — roughly half
+    # the base budget profiles plenty (the cumulative re-sort sharpens
+    # every later chunk anyway) and moves ~6% of the work into sorted
+    # launches. _chunk_schedule makes the sorted chunks uniform so they
+    # fuse into one device program.
+    sizes, uniform = _chunk_schedule(spp, chunk)
+    chunk0 = sizes[0]
     if spp <= chunk or not opts.sort_pixels:
         acc = None
         offset = 0
-        while offset < spp:
-            # same chunk schedule as the sorted path (first chunk `chunk0`,
-            # then 2x base) so sorted and unsorted renders accumulate
-            # per-pixel sums in identical order — bitwise-equal images
-            cs = min(chunk0 if offset == 0 else 2 * chunk, spp - offset)
+        for cs in sizes:
+            # same chunk schedule as the sorted path so sorted and
+            # unsorted renders accumulate per-pixel sums in identical
+            # order — bitwise-equal images
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
                 interpret, k_slots=k_slots, g_full=g_full,
@@ -1270,19 +1366,22 @@ def _render_pallas(
         scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
         k_slots, g_full,
     )
-    offset = chunk0
-    while offset < spp:
-        # sorted chunks have cost-balanced tiles (launch time ≈ mean lane
-        # cost, not max), so they can run 2x the base budget. 2x keeps the
-        # UNSORTED mirror schedule inside the measured fault-free launch
-        # envelope too (3.2 s); 3x measured no rr5 gain over 2x.
-        cs = min(2 * chunk, spp - offset)
-        acc, segments, inv, pixel_map = _render_chunk_sorted(
-            scene, dcam, seed, offset, acc, segments, inv, pixel_map,
-            width, height, cs, opts, r_sub, interpret, k_slots,
-            plan_next=offset + cs < spp, g_full=g_full,
+    if uniform:
+        # whole sorted run = ONE device program (see _render_chunks_scan)
+        acc, segments = _render_chunks_scan(
+            scene, dcam, seed, jnp.int32(chunk0), acc, segments, inv,
+            pixel_map, width, height, sizes[1], len(sizes) - 1, opts,
+            r_sub, interpret, k_slots, g_full,
         )
-        offset += cs
+    else:
+        offset = chunk0
+        for cs in sizes[1:]:
+            acc, segments, inv, pixel_map = _render_chunk_sorted(
+                scene, dcam, seed, offset, acc, segments, inv, pixel_map,
+                width, height, cs, opts, r_sub, interpret, k_slots,
+                plan_next=offset + cs < spp, g_full=g_full,
+            )
+            offset += cs
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
                            k_slots)
     if return_stats:

@@ -269,3 +269,22 @@ def test_sorted_multichunk_bitwise_equals_unsorted(monkeypatch):
     )
     assert np.array_equal(np.asarray(a), np.asarray(b))
     assert float(sa["segments"]) == float(sb["segments"])
+
+
+def test_chunk_schedule_invariants():
+    """The shared launch schedule: sizes sum to spp, the profile chunk is
+    bounded by the base budget, sorted chunks by 2x; uniform schedules
+    (the fused-scan path) are found for realistic spp/chunk ratios."""
+    for spp, chunk in [(500, 85), (500, 42), (100, 85), (8, 3), (10, 3),
+                       (1, 5), (86, 85), (10000, 85), (100000, 85),
+                       (7300, 85), (173, 86)]:
+        sizes, uniform = pk._chunk_schedule(spp, chunk)
+        assert sum(sizes) == spp, (spp, chunk, sizes)
+        if spp > chunk:
+            assert 1 <= sizes[0] <= chunk
+            assert all(c <= 2 * chunk for c in sizes[1:])
+            if uniform:
+                assert len(set(sizes[1:])) == 1
+    # the bench workload fuses: one profile chunk + uniform sorted chunks
+    sizes, uniform = pk._chunk_schedule(500, 85)
+    assert uniform and len(sizes) >= 3
