@@ -63,7 +63,10 @@ def _bench_one(config, backend, repeats, spp_override=None):
 
 def main() -> int:
     config = os.environ.get("BENCH_CONFIG", "cover")
-    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    # best-of-3 by default: the first post-warmup call through the device
+    # tunnel regularly carries 0.5-10 s of cold-stream straggler latency
+    # (measured: 7.0 s first vs 6.4 s steady on the cover render)
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     if config == "all":
