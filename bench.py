@@ -55,9 +55,13 @@ def _bench_one(config, backend, repeats, spp_override=None):
     best, segments = None, 0.0
     for i in range(repeats):
         t0 = time.perf_counter()
-        _, segments = run(jax.random.fold_in(key, i))
+        _, segs_i = run(jax.random.fold_in(key, i))
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        if best is None or dt < best:
+            # keep (wall, segments) from the SAME repeat: RR makes the
+            # segment count key-dependent, so mixing repeats would report
+            # a cross-run ratio no single run produced
+            best, segments = dt, segs_i
     return w, h, spp, depth, best, segments
 
 
@@ -130,9 +134,10 @@ def main() -> int:
         segments = 0.0
         for i in range(repeats):
             t0 = time.perf_counter()
-            _, segments = run(jax.random.fold_in(key, i))
+            _, segs_i = run(jax.random.fold_in(key, i))
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, segments = dt, segs_i  # same-repeat (wall, segments)
 
         mrays = segments / best / 1e6
         result = {

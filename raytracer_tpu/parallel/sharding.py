@@ -89,10 +89,11 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
                         local_h, opts, interpret, g_full=None):
     """Chunked Pallas band render for one rows-shard (shared by the offline
     and progressive sharded paths). Constant-size chunks: the profile-sort
-    machinery lives outside shard_map, so shards mirror the single-chip
-    UNSORTED schedule — bitwise-equal to single-chip when spp_local fits
-    one chunk (always true for progressive 1-spp frames), and equal up to
-    f32 chunk-summation order beyond that."""
+    machinery lives outside shard_map, so shards render unsorted —
+    bitwise-equal to single-chip when spp_local fits one chunk (always
+    true for progressive 1-spp frames); beyond that the single-chip path
+    uses a different chunk schedule (pallas_kernel._chunk_schedule), so
+    parity holds up to f32 chunk-summation order only."""
     from raytracer_tpu.render import pallas_kernel as pk
 
     row_offset = jax.lax.axis_index("rows") * local_h
@@ -161,7 +162,8 @@ def render_image_sharded_pallas(
     split = pk._containable_split(scene, dcam, opts)
     if split is not None:
         perm, g_full = split
-        scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
+        if perm is not None:
+            scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
     else:
         g_full = None
 
@@ -349,9 +351,9 @@ def _make_sharded_step_fn_pallas(
     frame equals the single-chip Pallas frame (bitwise for a pure-rows
     mesh when spp_local fits one launch — always true at the progressive
     1-spp frame size; with an spp axis, to one psum's f32 summation order;
-    for multi-launch spp_local, to chunk-summation order since the shard
-    body mirrors the single-chip UNSORTED schedule). The accumulation
-    buffer stays row-sharded frame to frame."""
+    for multi-launch spp_local, to chunk-summation order — the shard body
+    chunks uniformly while single-chip uses _chunk_schedule). The
+    accumulation buffer stays row-sharded frame to frame."""
     from raytracer_tpu.render import pallas_kernel as pk
 
     rows = mesh.shape["rows"]

@@ -809,13 +809,18 @@ def _containable_split(scene: Scene, dcam: DerivedCamera, opts: TraceOptions):
         return None
     import numpy as np
 
+    n_cont = int(flags.sum())
+    s_pad = _pad_spheres(flags.shape[0])
+    g_full = min(s_pad, _pad_spheres(max(1, n_cont)) if n_cont else 0)
+    if g_full >= s_pad:
+        # every slot keeps full near→far logic: the split buys nothing,
+        # so skip the scene permutation (and its device round trips) —
+        # matters on latency-bound small renders
+        return None
     # containable first; stable so relative order is otherwise preserved
     perm = np.argsort(~flags, kind="stable")
-    n_cont = int(flags.sum())
-    g_full = min(
-        _pad_spheres(flags.shape[0]),
-        _pad_spheres(max(1, n_cont)) if n_cont else 0,
-    )
+    if np.array_equal(perm, np.arange(perm.shape[0])):
+        perm = None  # already laid out containable-first: no gather ops
     return perm, g_full
 
 
@@ -828,12 +833,17 @@ def _containable_flags(scene: Scene, dcam: DerivedCamera,
     if not opts.split_scan:
         return None
     try:
-        c = np.asarray(scene.center, np.float64)
-        r = np.abs(np.asarray(scene.radius, np.float64))
-        act = np.asarray(scene.active, np.float64) > 0.0
-        mat = np.asarray(scene.material_type)
-        cam = np.asarray(dcam.origin, np.float64)
-        lens = float(np.asarray(dcam.lens_radius))
+        # ONE device→host transfer for everything the analysis reads —
+        # through the TPU tunnel each individual fetch costs ~50-90 ms
+        c, r, act, mat, cam, lens = jax.device_get((
+            scene.center, scene.radius, scene.active, scene.material_type,
+            dcam.origin, dcam.lens_radius,
+        ))
+        c = np.asarray(c, np.float64)
+        r = np.abs(np.asarray(r, np.float64))
+        act = np.asarray(act, np.float64) > 0.0
+        cam = np.asarray(cam, np.float64)
+        lens = float(lens)
     except Exception:  # traced values inside jit — no static analysis
         return None
     # f32 hit points on sphere i wander off its surface by roughly
@@ -843,12 +853,18 @@ def _containable_flags(scene: Scene, dcam: DerivedCamera,
     # start that deep inside a neighbor, so the pairwise test inflates by
     # it. Same-sphere re-entry needs no margin — the kernel runs an exact
     # per-lane far-root SELF-test of the last-hit sphere every iteration.
+    from raytracer_tpu.scene import materials
+
     delta = 1e-5 * (np.linalg.norm(c, axis=-1) + r + 1.0)
-    # glass spheres (material code 2, static/shader.frag:47)
-    containable = act & (mat == 2)
-    # camera (or any lens sample) inside
+    # glass spheres (static/shader.frag:47)
+    containable = act & (mat == materials.GLASS)
+    # camera (or any lens sample) inside — lens-ray origins are computed
+    # in f32 (origin + u·rdx + v·rdy), so inflate by the same
+    # scale-relative roundoff bound the pairwise test uses
+    cam_delta = 1e-5 * (np.linalg.norm(cam) + 1.0)
     containable |= act & (
-        np.linalg.norm(c - cam[None, :], axis=-1) < r + lens + 1e-4
+        np.linalg.norm(c - cam[None, :], axis=-1)
+        < r + lens + cam_delta + 1e-4
     )
     # another active sphere's surface inside: shell_i crosses ball_j
     # iff | |ci-cj| - ri | < rj (inflated by delta_i so roundoff-deep
@@ -1031,10 +1047,7 @@ def _render_chunk_profiled(
         scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
         interpret, k_slots=k_slots, g_full=g_full,
     )
-    acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
-    segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
-    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
-    return acc, segments, inv, pixel_map
+    return _profile_to_plan(out0, width, height, r_sub, k_slots)
 
 
 @functools.partial(
@@ -1076,6 +1089,17 @@ def _render_chunk_sorted(
         r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
         g_full=g_full,
     )
+    acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
+    if plan_next:
+        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+    return acc, segments, inv, pixel_map
+
+
+def _accumulate_sorted(out, acc, segments, inv, k_slots: int):
+    """Fold one sorted-layout chunk's tile sums into the pixel-space
+    accumulator (rgb + cumulative cost) and the segment counter — shared
+    by the chunk-at-a-time path and the fused lax.scan path so their
+    accumulation stays op-for-op identical (bitwise image parity)."""
     flat = (
         _rgbc_channels(out, k_slots)
         .transpose(2, 0, 1, 3, 4)
@@ -1083,9 +1107,7 @@ def _render_chunk_sorted(
     )
     acc = acc + jnp.take(flat, inv, axis=1)
     segments = segments + jnp.sum(out[:, 4 * k_slots, 0, 0])
-    if plan_next:
-        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
-    return acc, segments, inv, pixel_map
+    return acc, segments
 
 
 @functools.partial(
@@ -1224,9 +1246,10 @@ def _chunk_schedule(spp: int, chunk: int):
     for n in range(n0, n0 + 256):
         cs = -(-(spp - c0p) // n)
         c0 = spp - n * cs
-        # cs floor: reject degenerate many-tiny-chunk schedules (can
-        # arise for pathological spp/chunk ratios) — legacy loop instead
-        if 1 <= c0 <= chunk and max(1, chunk // 2) <= cs <= 2 * chunk:
+        # cs floor: reject degenerate many-tiny-chunk schedules (e.g.
+        # spp=8 chunk=3 would otherwise yield eight 1-spp launches) —
+        # the legacy loop below handles those cases
+        if 1 <= c0 <= chunk and max(2, chunk // 2) <= cs <= 2 * chunk:
             return [c0] + [cs] * n, True
     sizes = [c0p]
     off = c0p
@@ -1280,13 +1303,7 @@ def _render_chunks_scan(
             r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
             g_full=g_full,
         )
-        flat = (
-            _rgbc_channels(out, k_slots)
-            .transpose(2, 0, 1, 3, 4)
-            .reshape(4, -1)
-        )
-        acc = acc + jnp.take(flat, inv, axis=1)
-        segments = segments + jnp.sum(out[:, 4 * k_slots, 0, 0])
+        acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
         inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
         return (acc, segments, inv, pixel_map), None
 
@@ -1320,7 +1337,8 @@ def _render_pallas(
     split = _containable_split(scene, dcam, opts)
     if split is not None:
         perm, g_full = split
-        scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
+        if perm is not None:
+            scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
     else:
         g_full = None
 

@@ -154,6 +154,8 @@ def test_containable_split_analysis():
     from raytracer_tpu.scene.materials import Material
     from raytracer_tpu.scene.spheres import make_scene
 
+    # enough isolated (near-only) spheres that the split is non-trivial:
+    # count 11 → s_pad 16, containables fit the 8-slot full-logic prefix
     scene = make_scene([
         ((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),  # ground
         ((0, 1, 0), 1.0, Material.glass(1.5)),                # glass
@@ -161,6 +163,11 @@ def test_containable_split_analysis():
         ((4, 3, 0), 1.0, Material.metal((0.7, 0.6, 0.5), 0.0)),  # isolated
         ((8, 5, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1))),     # isolated
         ((8, 5.5, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1))),   # overlaps ^
+        ((-8, 5, 0), 1.0, Material.metal((0.7, 0.7, 0.7), 0.1)),
+        ((-8, 9, 0), 1.0, Material.diffuse((0.1, 0.4, 0.2))),
+        ((12, 9, 4), 1.0, Material.diffuse((0.2, 0.1, 0.4))),
+        ((12, 9, -4), 1.0, Material.metal((0.5, 0.5, 0.6), 0.0)),
+        ((-12, 9, 4), 1.0, Material.diffuse((0.3, 0.3, 0.1))),
     ])
     cam, *_ = (presets.simple_camera(64, 32),)
     dcam = derive_camera(cam)
@@ -168,9 +175,13 @@ def test_containable_split_analysis():
     assert flags[1] and flags[2]        # glass
     assert flags[4] and flags[5]        # overlapping pair
     assert not flags[3]                 # isolated metal: near-only
+    assert not flags[6:].any()          # isolated extras: near-only
     perm, g_full = pk._containable_split(scene, dcam, TraceOptions())
-    assert g_full % 8 == 0
-    # all containable spheres land in the full-logic prefix
+    assert g_full % 8 == 0 and g_full < pk._pad_spheres(scene.count)
+    # all containable spheres land in the full-logic prefix (perm None =
+    # scene already laid out containable-first)
+    if perm is None:
+        perm = np.arange(scene.count)
     prefix = set(np.asarray(perm)[:g_full].tolist())
     assert {i for i in range(scene.count) if flags[i]} <= prefix
     # analysis is disabled by the option
@@ -208,8 +219,10 @@ def test_split_scan_camera_inside_sphere():
     scene = make_scene([((0, 0, 0), 50.0, Material.diffuse((0.8, 0.1, 0.1)))])
     cam, *_ = (presets.simple_camera(64, 32),)
     dcam = derive_camera(cam)
-    _, g_full = pk._containable_split(scene, dcam, TraceOptions())
-    assert g_full >= 1  # the shell is containable
+    flags = pk._containable_flags(scene, dcam, TraceOptions())
+    assert flags[0]  # the shell is containable
+    # every slot needs full logic ⇒ the split is a no-op and says so
+    assert pk._containable_split(scene, dcam, TraceOptions()) is None
     img, stats = pk.render_image_pallas(
         scene, dcam, 64, 32, 2, jax.random.PRNGKey(0),
         TraceOptions(max_depth=3), return_stats=True,
