@@ -804,6 +804,11 @@ def _containable_split(scene: Scene, dcam: DerivedCamera, opts: TraceOptions):
     measure-zero set of samples (measured 0 differing pixels on the
     BASELINE scenes at 100 spp).
     """
+    if scene.count <= 8:
+        # one sublane strip: g_full is 0 or s_pad, and a near-only win on
+        # an 8-slot scan is noise — skip the analysis' device round trip
+        # (it costs more than it saves on latency-bound small renders)
+        return None
     flags = _containable_flags(scene, dcam, opts)
     if flags is None:
         return None

@@ -301,3 +301,32 @@ def test_chunk_schedule_invariants():
     # the bench workload fuses: one profile chunk + uniform sorted chunks
     sizes, uniform = pk._chunk_schedule(500, 85)
     assert uniform and len(sizes) >= 3
+
+
+def test_containable_camera_margin_scales_with_distance():
+    """Lens-ray origins carry f32 roundoff ~eps*|origin|: a sphere the
+    camera sits just outside must be containable when the gap is below
+    that scale-relative bound (VERDICT-class edge: far-from-origin
+    cameras with aperture)."""
+    import dataclasses
+
+    from raytracer_tpu.camera.camera import CameraConfig
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    # camera at |origin| ~ 2000 sitting 3e-3 outside a diffuse sphere:
+    # within eps32-scale roundoff of lens-sample origins, far above the
+    # old fixed 1e-4 margin. Needs >8 spheres so the analysis runs.
+    cam_pos = jnp.asarray((2000.0, 0.0, 0.0), jnp.float32)
+    spheres = [((2001.0, 0.0, 0.0), 0.997, Material.diffuse((0.5, 0.5, 0.5)))]
+    for i in range(9):
+        spheres.append(
+            ((i * 50.0, 500.0, 500.0), 1.0, Material.diffuse((0.3, 0.3, 0.3)))
+        )
+    scene = make_scene(spheres)
+    cam, *_ = (presets.simple_camera(64, 32),)
+    cam = dataclasses.replace(cam, origin=cam_pos, aperture=0.1)
+    dcam = derive_camera(cam)
+    flags = pk._containable_flags(scene, dcam, TraceOptions())
+    assert flags[0]          # gap 3e-3 < 1e-5*(2000+1) + lens + 1e-4
+    assert not flags[1:].any()
