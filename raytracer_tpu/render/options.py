@@ -54,6 +54,13 @@ class TraceOptions:
     #: Applies to concrete (non-traced) scenes on the offline path.
     split_scan: bool = True
 
+    def __post_init__(self):
+        if self.max_depth < 1:
+            # depth 0 would break the Pallas kernel's per-bounce RNG
+            # counter layout (bounce draws would alias the next sample's
+            # camera block) and diverge from the jnp tracer's flat-white
+            raise ValueError(f"max_depth must be >= 1, got {self.max_depth}")
+
 
 @flax.struct.dataclass
 class DebugParams:

@@ -723,24 +723,24 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
     three single-pass DEFAULT-precision MXU matmuls against a one-hot
     reconstruct the exact f32 parameter — half the passes of HIGHEST."""
     s_pad = _pad_spheres(scene.count)
-    # row 10 is k1 = |c|^2 - r^2, computed EXACTLY as _sphere_table does:
-    # the split-scan self-test recomputes this sphere's quadratic from
-    # gathered params and must be bitwise-equal to the scan's
-    act = (scene.active > 0.0) & (
-        jnp.linalg.norm(scene.center, axis=-1) - jnp.abs(scene.radius)
-        <= MAX_T
-    )
-    c_act = jnp.where(act[:, None], scene.center, 0.0)
-    k1 = jnp.where(
-        act, jnp.sum(c_act * c_act, axis=-1) - scene.radius * scene.radius,
-        1.0,
-    )
+    # row 10 is k1 from the SHARED _slot_encoding: the split-scan
+    # self-test recomputes this sphere's quadratic from gathered params
+    # and must be bitwise-equal to the scan's (_sphere_table)
+    _, _, k1 = _slot_encoding(scene)
+    # 1/r must stay FINITE even for degenerate slots: an inf anywhere in
+    # the gather table becomes NaN in the bf16 split (inf - inf), and the
+    # one-hot matmul's NaN·0 then poisons EVERY lane's gathered params —
+    # a zero-radius sphere (e.g. an interactive radius edit passing
+    # through 0) may never win a hit, but its table entry still
+    # contaminates the sums
+    r = scene.radius
+    inv_r = jnp.where(r == 0.0, 1.0, 1.0 / jnp.where(r == 0.0, 1.0, r))
     rows = jnp.stack(
         [
             scene.center[:, 0],
             scene.center[:, 1],
             scene.center[:, 2],
-            1.0 / scene.radius,
+            inv_r,
             scene.material_type.astype(jnp.float32),
             scene.albedo[:, 0],
             scene.albedo[:, 1],
@@ -882,6 +882,28 @@ def _containable_flags(scene: Scene, dcam: DerivedCamera,
     return containable
 
 
+def _slot_encoding(scene: Scene):
+    """(act, zeroed centers, k1) shared by ``_sphere_table`` (the scan)
+    and ``_params_table_t`` (the gather): the split-scan self-test's
+    strict-< tie-break relies on the two tables' k1 being computed with
+    BITWISE-identical arithmetic, so there is exactly one copy of it.
+
+    Inactive slots (and slots beyond MAX_T of the origin) are encoded
+    geometrically unhittable: center=(0,0,0), k1=+1 ⇒ disc < 0 for every
+    ray by Cauchy-Schwarz."""
+    act = (scene.active > 0.0) & (
+        jnp.linalg.norm(scene.center, axis=-1) - jnp.abs(scene.radius)
+        <= MAX_T
+    )
+    c_act = jnp.where(act[:, None], scene.center, 0.0)
+    k1 = jnp.where(
+        act,
+        jnp.sum(c_act * c_act, axis=-1) - scene.radius * scene.radius,
+        1.0,
+    )
+    return act, c_act, k1
+
+
 def _sphere_table(scene: Scene) -> jnp.ndarray:
     """(S_pad, 12) f32 column table with precomputed per-sphere constants.
 
@@ -897,14 +919,10 @@ def _sphere_table(scene: Scene) -> jnp.ndarray:
     bound here rather than a per-ray clip. Scenes are orders of magnitude
     smaller than MAX_T=1e5; the jnp tracer keeps the exact per-ray
     semantics."""
-    act = (scene.active > 0.0) & (
-        jnp.linalg.norm(scene.center, axis=-1) - jnp.abs(scene.radius)
-        <= MAX_T
-    )
-    c = jnp.where(act[:, None], scene.center, 0.0)
+    act, c, k1 = _slot_encoding(scene)
     r = scene.radius
-    k1 = jnp.where(act, jnp.sum(c * c, axis=-1) - r * r, 1.0)
-    inv_r = 1.0 / r  # signed: reproduces negative-radius normal flip
+    # signed: reproduces negative-radius normal flip; finite for r == 0
+    inv_r = jnp.where(r == 0.0, 1.0, 1.0 / jnp.where(r == 0.0, 1.0, r))
     table = jnp.stack(
         [
             c[:, 0],

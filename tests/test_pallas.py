@@ -330,3 +330,33 @@ def test_containable_camera_margin_scales_with_distance():
     flags = pk._containable_flags(scene, dcam, TraceOptions())
     assert flags[0]          # gap 3e-3 < 1e-5*(2000+1) + lens + 1e-4
     assert not flags[1:].any()
+
+
+def test_zero_radius_sphere_does_not_poison_gather():
+    """A degenerate zero-radius slot (e.g. an interactive radius edit
+    passing through 0) must not corrupt the image: 1/r = inf in the MXU
+    gather table becomes NaN in the bf16 split, and NaN*0 would poison
+    every lane's gathered params."""
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    scene = make_scene([
+        ((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),
+        ((0, 1, 0), 1.0, Material.diffuse((0.7, 0.3, 0.3))),
+        ((3, 1, 0), 0.0, Material.metal((0.9, 0.9, 0.9), 0.0)),  # degenerate
+    ])
+    cam, *_ = (presets.simple_camera(64, 32),)
+    dcam = derive_camera(cam)
+    opts = TraceOptions(max_depth=4)
+    img = np.asarray(pk.render_image_pallas(
+        scene, dcam, 64, 32, 4, jax.random.PRNGKey(0), opts))
+    assert np.isfinite(img).all()
+    # and it matches the jnp tracer (which simply never hits r=0)
+    ref = np.asarray(render_image_jnp(
+        scene, dcam, 64, 32, 4, jax.random.PRNGKey(0), opts))
+    assert np.abs(img - ref).mean() < 0.05
+
+
+def test_max_depth_zero_rejected():
+    with pytest.raises(ValueError):
+        TraceOptions(max_depth=0)
