@@ -15,6 +15,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 from raytracer_tpu.progressive.state import init_render_state
 from raytracer_tpu.progressive.step import make_step_fn, run_frames
@@ -75,8 +76,10 @@ def main(argv=None) -> int:
     scene, cam, w, h, spp, depth = presets.get_config(
         args.config, args.width, args.height
     )
-    spp = args.spp or spp
-    depth = args.max_depth or depth
+    # 'is not None': an explicit --spp 0 should error (TraceOptions /
+    # render validation), not silently fall back to the preset
+    spp = args.spp if args.spp is not None else spp
+    depth = args.max_depth if args.max_depth is not None else depth
     opts = TraceOptions(
         max_depth=depth,
         backend=args.backend,
@@ -108,7 +111,9 @@ def main(argv=None) -> int:
         image, stats = render_image(
             scene, cam, w, h, spp, key, opts, return_stats=True
         )
-        image.block_until_ready()
+        # forced host copy: block_until_ready() under-reports wall time
+        # through the device tunnel (CLAUDE.md timing rule)
+        image = np.asarray(image)
         segments = float(stats["segments"])
     elapsed = time.perf_counter() - t0
 

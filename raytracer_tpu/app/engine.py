@@ -85,13 +85,21 @@ class Engine:
         self._step_cache: dict = {}
         self._saved_images: list = []
         self.on_save: Optional[Callable[[np.ndarray], None]] = None
-        self.total_segments = 0.0
+        self._segments_dev = None  # device scalar: no per-frame host sync
+        self._save_path: Optional[str] = None
+
+    @property
+    def total_segments(self) -> float:
+        """Traced ray-bounce segments so far (one blocking device→host
+        read per access — accumulation itself stays on device)."""
+        return 0.0 if self._segments_dev is None else float(self._segments_dev)
 
     # --- step-function management (recompile only on static changes) -----
 
     def _step_fn(self, spp: int):
         key = (self.app.width, self.app.height, spp, self.app.max_depth,
-               self.app.should_average, self.app.enable_debugging)
+               self.app.should_average, self.app.enable_debugging,
+               self.app.last_frame_weight, self.app.max_render_count)
         if key not in self._step_cache:
             opts = TraceOptions(
                 max_depth=self.app.max_depth,
@@ -141,17 +149,28 @@ class Engine:
         self.app.request_resize(now_ms if now_ms is not None else _now_ms())
         self._pending_resize = (raw_w, raw_h)
 
-    def request_save(self) -> None:
-        """handle_save_image (src/dom.rs:118-124)."""
+    def request_save(self, path: Optional[str] = None) -> None:
+        """handle_save_image (src/dom.rs:118-124): flag a save that runs
+        immediately AFTER the next render — 'so that the canvas isn't
+        blank' — with the paused ≥25-spp quality floor applied."""
         self.app.should_render = True
         self.app.should_save = True
+        self._save_path = path
 
     def reset(self) -> None:
         """handle_reset (src/dom.rs:42-46): restore ``State::default()`` —
         the construction-time scene and camera (src/state.rs:96-315) —
-        then restart accumulation."""
+        then restart accumulation. The default camera picks up the
+        CURRENT render dims' aspect, as the reference's default State
+        derives its pipeline from the current window (src/state.rs:323)."""
+        import jax.numpy as jnp
+
         self.scene = self._default_scene
-        self.camera = self._default_camera
+        self.camera = self._default_camera.replace(
+            aspect_ratio=jnp.asarray(
+                self.app.width / self.app.height, jnp.float32
+            )
+        )
         self.app.selected_object = NO_SELECTED_OBJECT_ID
         self.app.cursor_point = (0.0, 0.0, 0.0)
         self.render_state = reset_accumulation(self.render_state)
@@ -198,6 +217,15 @@ class Engine:
             raw_w, raw_h = self._pending_resize
             self._pending_resize = None
             w, h = self.app.apply_resize(raw_w, raw_h, now)
+            # re-derive the camera viewport for the new dims — the
+            # reference's update_pipeline recomputes aspect_ratio from the
+            # resized canvas (src/state.rs:323, 364-398); without this
+            # every post-resize frame is anamorphically distorted
+            import jax.numpy as jnp
+
+            self.camera = self.camera.replace(
+                aspect_ratio=jnp.asarray(w / h, jnp.float32)
+            )
             self.render_state = init_render_state(
                 w, h, self.render_state.key
             ).replace(frame=self.render_state.frame)
@@ -217,7 +245,13 @@ class Engine:
                 self.render_state, self.scene, self.camera,
                 self._debug_params(),
             )
-            self.total_segments += float(aux["segments"])
+            # device-side accumulation: no per-frame host round trip
+            # (total_segments syncs only when read)
+            seg = aux["segments"]
+            self._segments_dev = (
+                seg if self._segments_dev is None
+                else self._segments_dev + seg
+            )
         except Exception as e:
             from raytracer_tpu.utils.resilience import is_device_fault
 
@@ -235,16 +269,26 @@ class Engine:
                 "state and restarting accumulation", str(e)[:120],
             )
             self._step_cache.clear()
-            self.render_state = init_render_state(
-                self.app.width, self.app.height, jax.random.PRNGKey(self._seed)
-            )
+            self._segments_dev = None
+            # the rebuild itself issues device ops — if the worker is
+            # still restarting they fault too, so run it under the same
+            # sleep-and-retry policy as whole-render recovery
+            from raytracer_tpu.utils.resilience import retry_on_device_fault
+
+            self.render_state = retry_on_device_fault(
+                lambda: init_render_state(
+                    self.app.width, self.app.height,
+                    jax.random.PRNGKey(self._seed),
+                )
+            )()
             self.app.render_count = 0
             self.app.should_render = True
             return False
 
         if self.app.should_save:
             self.app.should_save = False
-            self.save_image()
+            path, self._save_path = self._save_path, None
+            self.save_image(path)
         return True
 
     # --- output ------------------------------------------------------------

@@ -60,23 +60,31 @@ def frame_to_ansi(img: np.ndarray, max_cols: int = 100) -> str:
 
 
 class _RawTerminal:
-    """Raw-mode stdin for non-blocking single-key reads."""
+    """Raw-mode stdin for non-blocking single-key reads.
+
+    Degrades to a keyless no-op when stdin is not a tty (piped/CI
+    ``--max-frames`` runs) instead of dying on the termios ioctl."""
 
     def __enter__(self):
-        import termios
-        import tty
+        self.enabled = sys.stdin.isatty()
+        if self.enabled:
+            import termios
+            import tty
 
-        self.fd = sys.stdin.fileno()
-        self.saved = termios.tcgetattr(self.fd)
-        tty.setcbreak(self.fd)
+            self.fd = sys.stdin.fileno()
+            self.saved = termios.tcgetattr(self.fd)
+            tty.setcbreak(self.fd)
         return self
 
     def __exit__(self, *exc):
-        import termios
+        if self.enabled:
+            import termios
 
-        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+            termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
 
     def read_keys(self):
+        if not self.enabled:
+            return []
         keys = []
         while select.select([sys.stdin], [], [], 0)[0]:
             keys.append(sys.stdin.read(1))
@@ -118,7 +126,9 @@ def run_viewer(
                     elif k == "r":
                         engine.reset()
                     elif k == "x":
-                        engine.save_image(f"viewer_{frame}.png")
+                        # render-before-save + paused 25-spp floor
+                        # (src/dom.rs:115-124, src/webgl.rs:342-347)
+                        engine.request_save(f"viewer_{frame}.png")
                     elif k == "+":
                         engine.handle_wheel(-1.0)
                     elif k == "-":

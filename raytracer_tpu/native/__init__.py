@@ -28,11 +28,27 @@ def _build() -> bool:
         return False
 
 
+def _is_current() -> bool:
+    """True when the .so exists and is newer than every source/Makefile —
+    the common case, where spawning `make` (fork + subprocess, up to the
+    120 s timeout on a broken toolchain) at import would be pure waste."""
+    try:
+        so_m = os.path.getmtime(_SO)
+    except OSError:
+        return False
+    for name in os.listdir(_DIR):
+        if name.endswith((".cpp", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_DIR, name)) >= so_m:
+                return False
+    return True
+
+
 def _load():
-    # always run make: a stale .so from an older source set (e.g. built
-    # before ansi.cpp existed) would load but miss newer symbols; make is
-    # a no-op when the library is current
-    if not _build() and not os.path.exists(_SO):
+    # run make only when the .so is missing or older than the sources: a
+    # stale .so from an older source set would load but miss newer
+    # symbols, while an up-to-date one makes the subprocess pure startup
+    # cost for every importing process
+    if not _is_current() and not _build() and not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)

@@ -157,3 +157,34 @@ def test_reset_restores_scene_and_camera():
     assert cameras_equal(eng.camera, cam)
     assert eng.app.render_count == 0
     assert float(eng.render_state.render_count) == 0.0
+
+
+def test_resize_updates_camera_aspect():
+    """The reference's update_pipeline re-derives aspect_ratio from the
+    resized canvas (src/state.rs:323, 364-398); without it every
+    post-resize frame is anamorphically distorted."""
+    e = make_engine()
+    e.set_paused(False)
+    e.tick(0.0)
+    e.handle_resize(200.0, 200.0, now_ms=16.0)
+    # debounce: resize applies 500 ms after the request
+    e.tick(600.0)
+    assert e.app.width == e.app.height == 200
+    assert float(e.camera.aspect_ratio) == 1.0
+    # and the engine still renders at the new shape
+    assert e.tick(616.0)
+    assert e.framebuffer().shape == (200, 200, 3)
+
+
+def test_request_save_with_path(tmp_path):
+    """'x' in the viewer requests a save that runs AFTER the next render
+    (src/dom.rs:115-124) at the paused >=25-spp floor."""
+    import os
+
+    e = make_engine()
+    e.set_paused(True)
+    out = str(tmp_path / "save.png")
+    e.request_save(out)
+    assert e.tick(16.0)  # paused but should_save forces the render
+    assert os.path.exists(out)
+    assert e._save_path is None  # one-shot
