@@ -48,9 +48,17 @@ def random_in_unit_sphere(key, shape=()):
 
 
 def random_unit_vector(key, shape=()):
-    """Uniform direction on the unit sphere (static/shader.frag:131-133)."""
+    """Uniform direction on the unit sphere (static/shader.frag:131-133).
+
+    The norm is eps-guarded: jax.random.uniform returns exactly 0.0 with
+    probability ~2^-23 per draw, making the sphere sample (0,0,0) and an
+    unguarded divide NaN — which would poison pixels in high-spp renders
+    (~100+ lanes per 1e9 draws). The Pallas kernel's _normalize3 guards
+    the same way (eps=1e-20), so the backends stay aligned."""
+    from raytracer_tpu.core import vec
+
     v = random_in_unit_sphere(key, shape)
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return vec.normalize(v, eps=1e-20)
 
 
 def random_in_unit_disk(key, shape=()):

@@ -34,7 +34,13 @@ def make_mesh(axis_sizes: Sequence[int], axis_names: Sequence[str] = ("rows", "s
     import numpy as np
 
     n = int(np.prod(axis_sizes))
-    devices = np.array(jax.devices()[:n]).reshape(tuple(axis_sizes))
+    avail = jax.devices()
+    if len(avail) < n:
+        raise ValueError(
+            f"mesh {tuple(axis_sizes)} needs {n} devices, "
+            f"only {len(avail)} visible"
+        )
+    devices = np.array(avail[:n]).reshape(tuple(axis_sizes))
     return Mesh(devices, tuple(axis_names))
 
 
@@ -134,8 +140,6 @@ def render_image_sharded_pallas(
     streams, so the full-mesh render equals the single-chip render up to
     f32 summation order. One psum of linear color per render rides the ICI.
     """
-    import functools as _ft
-
     from raytracer_tpu.render import pallas_kernel as pk
 
     opts = opts or TraceOptions()
@@ -236,7 +240,7 @@ def render_image_sharded(
         P("rows", None, None),  # st rows
         P(),  # key
     )
-    out_specs = (P("rows", None, None), P("rows") if spp_axis is None else P("rows"))
+    out_specs = (P("rows", None, None), P("rows"))
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
     image, segments = jax.jit(fn)(scene, dcam, st, key)

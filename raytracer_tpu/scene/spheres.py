@@ -149,8 +149,6 @@ def update_sphere(
 def add_sphere(scene: Scene, center, radius, material: Material) -> Scene:
     """Append a sphere, reusing an inactive slot when available (no shape
     change → no recompile), else growing the arrays by one (recompiles)."""
-    import numpy as np
-
     inactive = np.where(np.asarray(scene.active) == 0.0)[0]
     if inactive.size:
         return update_sphere(

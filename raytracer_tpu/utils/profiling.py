@@ -27,8 +27,13 @@ class MraysMeter:
     @contextlib.contextmanager
     def time(self):
         t0 = time.perf_counter()
-        yield
-        self.seconds += time.perf_counter() - t0
+        try:
+            yield
+        finally:
+            # count the elapsed time even when the block raises (e.g. a
+            # device fault retried one level up) — dropping it would
+            # overstate Mrays/s
+            self.seconds += time.perf_counter() - t0
 
     def add_segments(self, n: float) -> None:
         self.segments += float(n)
