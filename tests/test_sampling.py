@@ -63,3 +63,16 @@ def test_bounce_uniforms_shapes(key):
     uv, us, g = sampling.sphere_disk_glass_uniforms(key, (17,))
     assert uv.shape == (17, 3) and us.shape == (17, 3) and g.shape == (17,)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(uv), axis=-1), 1.0, atol=1e-5)
+
+
+def test_unit_vector_guards_zero_norm():
+    """jax.random.uniform can return exactly 0.0 (~2^-23/draw), making the
+    sphere sample (0,0,0); the normalize must not produce NaN (the Pallas
+    kernel's _normalize3 uses the same eps guard)."""
+    from raytracer_tpu.core import vec
+
+    z = jnp.zeros((4, 3), jnp.float32)
+    assert bool(jnp.isfinite(vec.normalize(z, eps=1e-20)).all())
+    # and a large batch of real draws is finite end to end
+    v = sampling.random_unit_vector(jax.random.PRNGKey(123), (1 << 20,))
+    assert bool(jnp.isfinite(v).all())

@@ -172,3 +172,43 @@ def test_sharded_pallas_progressive_spp_axis(setup, key):
     np.testing.assert_allclose(
         np.asarray(state_m.accum), np.asarray(state_1.accum), atol=1e-6
     )
+
+
+def test_sharded_pallas_split_scan_parity(key):
+    """The offline sharded path threads the split scan (containable
+    permutation + g_full) through shard_map: a scene with a non-trivial
+    near-only suffix must match the single-chip render, which runs the
+    same analysis."""
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    scene = make_scene([
+        ((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),
+        ((0, 1, 0), 1.0, Material.glass(1.5)),
+        ((0, 1, 0), -0.45, Material.glass(1.5)),
+        ((4, 3, 0), 1.0, Material.metal((0.7, 0.6, 0.5), 0.0)),
+        ((8, 5, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1))),
+        ((-8, 5, 0), 1.0, Material.metal((0.7, 0.7, 0.7), 0.1)),
+        ((-8, 9, 0), 1.0, Material.diffuse((0.1, 0.4, 0.2))),
+        ((12, 9, 4), 1.0, Material.diffuse((0.2, 0.1, 0.4))),
+        ((12, 9, -4), 1.0, Material.metal((0.5, 0.5, 0.6), 0.0)),
+        ((-12, 9, 4), 1.0, Material.diffuse((0.3, 0.3, 0.1))),
+        ((0, 3, -4), 1.0, Material.diffuse((0.6, 0.2, 0.2))),
+    ])
+    cam, *_ = (presets.simple_camera(W, H),)
+    opts = TraceOptions(max_depth=4)
+    # preconditions: the analysis really is active with a near-only suffix
+    split = pk._containable_split(scene, derive_camera(cam), opts)
+    assert split is not None and split[1] < pk._pad_spheres(scene.count)
+
+    img = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, make_mesh((2,), ("rows",)), opts
+    )
+    single = pk.render_image_pallas(
+        scene, derive_camera(cam), W, H, 2, key, opts, k_slots=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(single), atol=1e-6
+    )
