@@ -61,26 +61,27 @@ def main(k_slots=4, spp=500, rr=5):
     kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
 
-    chunk = pk._pick_chunk_spp(spp, w * h, scene.count, depth, rr)
+    base = pk._pick_chunk_spp(spp, w * h, scene.count, depth, rr)
+    sizes, _ = pk._chunk_schedule(spp, base)  # production launch schedule
+    chunk0 = sizes[0]
     r_sub = pk.DEFAULT_R_SUB
 
     t0 = time.perf_counter()
     out0 = pk._render_chunk(
-        scene, dcam, seed, 0, w, h, chunk, opts, r_sub, False,
+        scene, dcam, seed, 0, w, h, chunk0, opts, r_sub, False,
         k_slots=k_slots,
     )
     np.asarray(out0)
     dt0 = time.perf_counter() - t0
-    print(f"chunk0 (unsorted, spp={chunk}): {dt0:.3f}s "
+    print(f"chunk0 (unsorted, spp={chunk0}): {dt0:.3f}s "
           f"util={util_of(out0, k_slots):.3f}")
 
     acc, segments, inv, pixel_map = pk._profile_to_plan(
         out0, w, h, r_sub, k_slots
     )
     jax.block_until_ready((acc, inv, pixel_map))
-    offset = chunk
-    while offset < spp:
-        cs = min(2 * chunk, spp - offset)
+    offset = chunk0
+    for cs in sizes[1:]:
         t0 = time.perf_counter()
         out = pk._render_chunk(
             scene, dcam, seed, offset, w, h, cs, opts, r_sub, False,
