@@ -1,10 +1,15 @@
-.PHONY: test native bench clean viewer
+.PHONY: test native bench clean viewer device-check
 
 native:
 	$(MAKE) -C raytracer_tpu/native
 
 test: native
 	python -m pytest tests/ -q
+
+# device-only regression gate (run on TPU before every BENCH capture):
+# bf16-split canary, split-scan + K-slot bitwise parity, physics vs jnp
+device-check:
+	python scripts/device_check.py
 
 bench:
 	python bench.py

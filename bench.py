@@ -9,7 +9,8 @@ exactly on device). Prints ONE JSON line:
 vs_baseline is against the 500 Mrays/s target from BASELINE.json ("converged
 in <2 s on one TPU chip at >500 Mrays/s").
 
-Env knobs: BENCH_CONFIG ('cover' default, or 'all' for the full matrix),
+Env knobs: BENCH_CONFIG ('cover' default; 'all' for the full matrix;
+'progressive' for BASELINE config 4 — steady-state 1-spp frames at 1080p),
 BENCH_SPP, BENCH_BACKEND, BENCH_REPEATS, BENCH_RR (Russian-roulette start
 bounce; default 5, 0 = pure reference physics). When RR is on, an rr0
 companion run is always reported (stderr + rr0_* JSON fields;
@@ -65,6 +66,58 @@ def _bench_one(config, backend, repeats, spp_override=None):
     return w, h, spp, depth, best, segments
 
 
+def _bench_progressive(config="demo", width=1920, height=1080,
+                       frames=256, batch=32):
+    """BASELINE config 4: realtime progressive 1 spp/frame at 1080p.
+    Steady-state jitted step with buffer donation (the reference's primary
+    use case, static/shader.frag:387-404 + src/state.rs:127-135 defaults).
+    Frames are timed in batches with one scalar sync per batch — the
+    viewer's consumption pattern. Returns the result dict."""
+    import jax
+
+    from raytracer_tpu.progressive.state import init_render_state
+    from raytracer_tpu.progressive.step import make_step_fn
+    from raytracer_tpu.render.options import DebugParams, TraceOptions
+    from raytracer_tpu.scene import presets
+
+    scene, cam, w, h, spp, depth = presets.get_config(
+        config, width, height
+    )
+    opts = TraceOptions(max_depth=8)
+    step = make_step_fn(w, h, spp=1, opts=opts,
+                        backend=os.environ.get("BENCH_BACKEND", "auto"))
+    state = init_render_state(w, h, jax.random.PRNGKey(0))
+    debug = DebugParams.none()
+    for _ in range(5):  # warm: compile + steady accumulation
+        state, aux = step(state, scene, cam, debug)
+    float(aux["segments"])  # sync (block_until_ready under-reports)
+    best = None
+    segs_frame = 0.0
+    done = 0
+    while done < frames:
+        n = min(batch, frames - done)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, aux = step(state, scene, cam, debug)
+        segs = float(aux["segments"])  # one ~60 ms sync per batch
+        dt = (time.perf_counter() - t0) / n
+        done += n
+        if best is None or dt < best:
+            best, segs_frame = dt, segs
+    fps = 1.0 / best
+    return {
+        "metric": f"progressive_{config}_{w}x{h}_1spp_d8 fps",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": None,  # the reference publishes no number; see
+        # BASELINE.md ("interactive rates" on a desktop GPU at <=1280px)
+        "ms_per_frame": round(best * 1e3, 2),
+        "frames": frames,
+        "segments_per_frame": segs_frame,
+        "backend": os.environ.get("BENCH_BACKEND", "auto"),
+    }
+
+
 def main() -> int:
     config = os.environ.get("BENCH_CONFIG", "cover")
     # best-of-3 by default: the first post-warmup call through the device
@@ -72,6 +125,24 @@ def main() -> int:
     # (measured: 7.0 s first vs 6.4 s steady on the cover render)
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    if config == "progressive":
+        # BASELINE config 4 as the headline JSON line
+        try:
+            from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+            enable_persistent_cache()
+            result = _bench_progressive()
+        except Exception as e:
+            result = {
+                "metric": "progressive_demo_1920x1080_1spp_d8 fps",
+                "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}",
+            }
+            print(json.dumps(result))
+            return 1
+        print(json.dumps(result))
+        return 0
 
     if config == "all":
         # full BASELINE matrix: per-config lines to stderr, headline last
@@ -90,6 +161,16 @@ def main() -> int:
                 )
             except Exception as e:
                 print(f"{name}: FAIL {e}", file=sys.stderr)
+        try:
+            # BASELINE config 4 (realtime progressive 1080p) — stderr line
+            r = _bench_progressive()
+            print(
+                f"progressive: 1920x1080 1spp d8 "
+                f"{r['ms_per_frame']:.1f} ms/frame -> {r['value']:.1f} fps",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"progressive: FAIL {e}", file=sys.stderr)
         config = "cover"  # fall through: headline JSON line
 
     try:

@@ -76,8 +76,8 @@ def main(argv=None) -> int:
     scene, cam, w, h, spp, depth = presets.get_config(
         args.config, args.width, args.height
     )
-    # 'is not None': an explicit --spp 0 should error (TraceOptions /
-    # render validation), not silently fall back to the preset
+    # 'is not None': an explicit --spp 0 should error (render_image /
+    # make_step_fn raise ValueError), not silently fall back to the preset
     spp = args.spp if args.spp is not None else spp
     depth = args.max_depth if args.max_depth is not None else depth
     opts = TraceOptions(

@@ -56,7 +56,7 @@ class Engine:
         height: int,
         spp: int = 1,
         max_depth: int = 8,
-        backend: str = "jnp",
+        backend: str = "auto",
         seed: int = 0,
         enable_debugging: bool = False,
         exhaust_black: bool = False,
@@ -86,13 +86,23 @@ class Engine:
         self._saved_images: list = []
         self.on_save: Optional[Callable[[np.ndarray], None]] = None
         self._segments_dev = None  # device scalar: no per-frame host sync
+        # host-side fold of the device counter: every _SEG_FOLD_FRAMES the
+        # device scalar is drained into this float (one cheap sync), so a
+        # worker crash loses at most the un-folded tail instead of zeroing
+        # the whole running total (ADVICE r2)
+        self._segments_host = 0.0
+        self._segments_unfolded = 0
         self._save_path: Optional[str] = None
+
+    _SEG_FOLD_FRAMES = 64
 
     @property
     def total_segments(self) -> float:
         """Traced ray-bounce segments so far (one blocking device→host
         read per access — accumulation itself stays on device)."""
-        return 0.0 if self._segments_dev is None else float(self._segments_dev)
+        if self._segments_dev is None:
+            return self._segments_host
+        return self._segments_host + float(self._segments_dev)
 
     # --- step-function management (recompile only on static changes) -----
 
@@ -252,6 +262,14 @@ class Engine:
                 seg if self._segments_dev is None
                 else self._segments_dev + seg
             )
+            self._segments_unfolded += 1
+            if self._segments_unfolded >= self._SEG_FOLD_FRAMES:
+                # drain to host so a later device fault can't zero the
+                # running total; the viewer already syncs per frame for
+                # display, so this read is effectively free
+                self._segments_host += float(self._segments_dev)
+                self._segments_dev = None
+                self._segments_unfolded = 0
         except Exception as e:
             from raytracer_tpu.utils.resilience import is_device_fault
 
@@ -269,7 +287,10 @@ class Engine:
                 "state and restarting accumulation", str(e)[:120],
             )
             self._step_cache.clear()
+            # the device scalar died with the worker; the host fold keeps
+            # everything up to the last drain (ADVICE r2)
             self._segments_dev = None
+            self._segments_unfolded = 0
             # the rebuild itself issues device ops — if the worker is
             # still restarting they fault too, so run it under the same
             # sleep-and-retry policy as whole-render recovery

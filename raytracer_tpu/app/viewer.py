@@ -100,7 +100,7 @@ def run_viewer(
     config: str = "demo",
     width: int = 320,
     height: int = 180,
-    backend: str = "jnp",
+    backend: str = "auto",
     max_frames: int | None = None,
     target_fps: float = 30.0,
     cols: int = 100,
@@ -182,7 +182,9 @@ if __name__ == "__main__":
     p.add_argument("--config", default="demo", choices=sorted(presets.BASELINE_CONFIGS))
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--height", type=int, default=180)
-    p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument(
+        "--backend", default="auto", choices=["auto", "jnp", "pallas"]
+    )
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--max-frames", type=int, default=None)
     a = p.parse_args()

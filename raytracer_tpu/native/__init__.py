@@ -13,6 +13,18 @@ import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libfastpng.so")
+_STAMP = os.path.join(_DIR, ".buildstamp")
+
+
+def _sources() -> list[str]:
+    """Sorted source/Makefile names the build depends on ([] on OSError)."""
+    try:
+        return sorted(
+            n for n in os.listdir(_DIR)
+            if n.endswith((".cpp", ".h")) or n == "Makefile"
+        )
+    except OSError:
+        return []
 
 
 def _build() -> bool:
@@ -23,23 +35,35 @@ def _build() -> bool:
             capture_output=True,
             timeout=120,
         )
-        return os.path.exists(_SO)
+        if os.path.exists(_SO):
+            # record the source SET the .so was built from: mtimes alone
+            # can't see a deleted source file (ADVICE r2)
+            with open(_STAMP, "w") as f:
+                f.write("\n".join(_sources()))
+            return True
+        return False
     except Exception:
         return False
 
 
 def _is_current() -> bool:
-    """True when the .so exists and is newer than every source/Makefile —
-    the common case, where spawning `make` (fork + subprocess, up to the
-    120 s timeout on a broken toolchain) at import would be pure waste."""
+    """True when the .so exists, is newer than every source/Makefile, AND
+    was built from the same source set (a deleted source file changes the
+    set without touching any surviving mtime) — the common case, where
+    spawning `make` (fork + subprocess, up to the 120 s timeout on a
+    broken toolchain) at import would be pure waste."""
     try:
         so_m = os.path.getmtime(_SO)
-    except OSError:
-        return False
-    for name in os.listdir(_DIR):
-        if name.endswith((".cpp", ".h")) or name == "Makefile":
+        with open(_STAMP) as f:
+            stamped = f.read().split("\n")
+        srcs = _sources()
+        if not srcs or srcs != stamped:
+            return False
+        for name in srcs:
             if os.path.getmtime(os.path.join(_DIR, name)) >= so_m:
                 return False
+    except OSError:
+        return False
     return True
 
 

@@ -63,11 +63,18 @@ def make_step_fn(
     NOTE: the input state is DONATED (its buffers are updated in place on
     device); do not reuse it after the call — use the returned state.
     """
+    import dataclasses
+
+    from raytracer_tpu.render.api import resolve_backend
+
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
     opts = opts or TraceOptions()
     if backend is not None:
-        import dataclasses
-
         opts = dataclasses.replace(opts, backend=backend)
+    # resolve 'auto' here (compile-time): the viewer/engine default to it,
+    # and the realtime path must hit the fast kernel on TPU (VERDICT r2 #7)
+    opts = dataclasses.replace(opts, backend=resolve_backend(opts.backend))
 
     def step(
         state: RenderState,

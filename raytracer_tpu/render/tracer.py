@@ -294,6 +294,8 @@ def render_image_jnp(
     debug: DebugParams | None = None,
     return_stats: bool = False,
     sample_offset=0,
+    row_offset: int = 0,
+    band_height: int | None = None,
 ):
     """Full offline render (shader.frag:360-383): spp loop, average, gamma.
 
@@ -302,8 +304,25 @@ def render_image_jnp(
     ``sample_offset`` shifts the per-sample RNG streams so a render split
     into spp chunks reproduces the unchunked sample decomposition exactly
     (the caller averages linear chunk sums).
-    """
-    st = pixel_st_grid(width, height).reshape(-1, 2)
+
+    ``row_offset``/``band_height`` render a horizontal band of the full
+    image (returns (band_height, W, 3)): same camera geometry as the full
+    render, but the per-pixel RNG draws are batch-POSITION-keyed (shape
+    (P,) draws), so a banded render is a statistically equivalent — not
+    bitwise-identical — Monte Carlo estimate. The api layer uses this only
+    for renders so large that a single full-grid execution would trip the
+    device watchdog (where the unbanded render cannot run at all)."""
+    bh = band_height if band_height is not None else height
+    grid = pixel_st_grid(width, height)
+    if bh == height:
+        st = grid
+    else:
+        # dynamic slice: row_offset may be traced, so every band of the
+        # same height shares ONE compiled program
+        st = jax.lax.dynamic_slice_in_dim(
+            grid, jnp.asarray(row_offset, jnp.int32), bh, axis=0
+        )
+    st = st.reshape(-1, 2)
     p = st.shape[0]
 
     def body(s, carry):
@@ -320,7 +339,7 @@ def render_image_jnp(
     color = acc * (1.0 / spp)
     if opts.gamma:
         color = jnp.sqrt(jnp.maximum(color, 0.0))  # shader.frag:380
-    image = color.reshape(height, width, 3)
+    image = color.reshape(bh, width, 3)
     if return_stats:
         return image, {"segments": segments}
     return image

@@ -1,0 +1,139 @@
+"""One-command device regression gate (VERDICT r2 #5).
+
+Runs the device-only correctness checks that interpret mode CANNOT
+reproduce (CLAUDE.md pitfalls: XLA folding astype-based bf16 splits to
+identity inside jit; Mosaic sqrt(negative) not being IEEE NaN), plus the
+bitwise invariants of the production kernel's three layout machineries:
+
+  1. bf16-split canary: the jitted params table's mid/lo planes must be
+     nonzero and sum exactly back to the f32 values (a regression to an
+     astype-based split silently becomes [x, 0, 0] under jit).
+  2. split-scan parity: split_scan on vs off bitwise-identical on device
+     (multi-chunk sorted render; exercises the far-root SELF-test).
+  3. K-slot invariance: k_slots 1 vs 4 bitwise-identical (forced
+     multi-chunk so the sorted/permuted path runs on hardware).
+  4. device-vs-reference physics: the Pallas kernel against the
+     independent jnp tracer, statistical (catches any wrong-image
+     regression of the sqrt(negative)/poison-sentinel class).
+
+Each check is a single cheap compile (persistent cache enabled). Exits
+nonzero on any drift. Run before every BENCH capture:
+
+    make device-check      # or: python scripts/device_check.py
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from raytracer_tpu.camera.camera import derive_camera  # noqa: E402
+from raytracer_tpu.render import pallas_kernel as pk  # noqa: E402
+from raytracer_tpu.render.options import TraceOptions  # noqa: E402
+from raytracer_tpu.render.tracer import render_image_jnp  # noqa: E402
+from raytracer_tpu.scene import presets  # noqa: E402
+
+FAILURES = []
+
+
+def check(name: str, ok: bool, detail: str = ""):
+    status = "ok" if ok else "FAIL"
+    print(f"[device-check] {name}: {status} {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("[device-check] no TPU backend — this gate must run on "
+              "device (interpret mode cannot reproduce these pitfalls)")
+        return 2
+
+    scene, cam, *_ = presets.get_config("cover", 256, 64)
+    dcam = derive_camera(cam)
+
+    # 1. bf16-split canary — INSIDE jit, where the excess-precision
+    # simplifier lives. mid/lo must survive and the 3-term sum must
+    # reconstruct f32 exactly.
+    tbl = jax.jit(pk._params_table_t)(scene)
+    hi, mid, lo = np.asarray(tbl)
+    exact = np.asarray(pk._params_table_t(scene))  # eager = ground truth
+    n_mid = int((mid != 0).sum())
+    n_lo = int((lo != 0).sum())
+    # f64 accumulation: the 3 terms are disjoint-exponent bf16 values, so
+    # their f64 sum is exact and must equal the eager split's
+    recon_ok = bool(np.array_equal(
+        hi.astype(np.float64) + mid + lo,
+        exact[0].astype(np.float64) + exact[1] + exact[2],
+    ))
+    check(
+        "bf16-split", n_mid > 0 and n_lo > 0 and recon_ok,
+        f"(mid nonzero: {n_mid}, lo nonzero: {n_lo}, exact-sum: {recon_ok})",
+    )
+
+    # 2. split-scan bitwise parity (multi-chunk sorted, rr5, depth 20)
+    opts = TraceOptions(max_depth=20, russian_roulette_depth=5)
+    key = jax.random.PRNGKey(11)
+    a, sa = pk.render_image_pallas(
+        scene, dcam, 256, 64, 100, key, opts, return_stats=True
+    )
+    b, sb = pk.render_image_pallas(
+        scene, dcam, 256, 64, 100, key,
+        dataclasses.replace(opts, split_scan=False), return_stats=True,
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    check(
+        "split-scan", bool(np.array_equal(a, b)),
+        f"(maxdiff {np.abs(a - b).max():.2e}, segs "
+        f"{float(sa['segments']):.0f}/{float(sb['segments']):.0f})",
+    )
+
+    # 3. K-slot invariance (force multi-chunk so the sorted path runs)
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 3)
+        opts8 = TraceOptions(max_depth=8, russian_roulette_depth=5)
+        k7 = jax.random.PRNGKey(7)
+        imgs = []
+        for ks in (1, 4):
+            img = pk.render_image_pallas(
+                scene, dcam, 256, 64, 10, k7, opts8, k_slots=ks
+            )
+            imgs.append(np.asarray(img))
+    finally:
+        pk._pick_chunk_spp = orig
+    check(
+        "k-slots", bool(np.array_equal(imgs[0], imgs[1])),
+        f"(maxdiff {np.abs(imgs[0] - imgs[1]).max():.2e})",
+    )
+
+    # 4. device physics vs the independent jnp tracer (statistical — the
+    # functional net for sqrt(negative)/poison-sentinel regressions)
+    imgj = np.asarray(
+        render_image_jnp(scene, dcam, 256, 64, 10, k7,
+                         TraceOptions(max_depth=8))
+    )
+    d = np.abs(imgs[1] - imgj)
+    mad = float(np.nanmean(d))
+    n_nan = int(np.isnan(d).sum())
+    check("pallas-vs-jnp", mad < 0.03 and n_nan < 50,
+          f"(mean|d| {mad:.4f}, nan px {n_nan})")
+
+    if FAILURES:
+        print(f"[device-check] FAILED: {', '.join(FAILURES)}")
+        return 1
+    print("[device-check] all green")
+    return 0
+
+
+if __name__ == "__main__":
+    _sys.exit(main())
