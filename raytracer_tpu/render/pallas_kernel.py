@@ -1176,17 +1176,26 @@ def _tiles_to_flat(out, width: int, height: int, r_sub: int, k_slots: int):
     )
 
 
-def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int):
+def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int,
+                    row_offset=0):
     """Per-pixel cumulative cost → (inv, pixel_map): pixels sorted by
     descending measured path cost, packed into tiles in that order. A
     lane's K slots take ranks (t·K + k)·N + pos for its in-tile position
     pos — K nearby draws from the sorted cost curve, so lane TOTALS
-    equalize even where single-pixel predictions miss."""
+    equalize even where single-pixel predictions miss.
+
+    ``row_offset`` (may be traced — a shard's ``axis_index`` band start)
+    shifts the pixel_map's ipy to ABSOLUTE image rows: the permuted
+    kernel derives RNG streams and camera st from (ipx, ipy) alone, so a
+    shard's plan must name global pixels. ``inv`` stays local (it indexes
+    the shard's own accumulator)."""
     order = jnp.argsort(-cost)  # expensive pixels first; padding (0) last
     inv = jnp.argsort(order)
     wp = pl.cdiv(width, LANES) * LANES
     ipx = (order % wp).astype(jnp.int32)
-    ipy = (order // wp).astype(jnp.int32)
+    ipy = (order // wp).astype(jnp.int32) + jnp.asarray(
+        row_offset, jnp.int32
+    )
     nt = order.shape[0] // (k_slots * r_sub * LANES)
     pixel_map = (
         jnp.stack([ipx, ipy], axis=0)

@@ -212,3 +212,90 @@ def test_sharded_pallas_split_scan_parity(key):
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(single), atol=1e-6
     )
+
+
+def test_sharded_pallas_sorted_bitwise_vs_unsorted(setup, key):
+    """The sorted sharded offline path (profile chunk + per-shard pixel
+    sorting + K-slots + fused chunk scan) is bitwise-identical to the
+    unsorted sharded render: same chunk schedule, same per-pixel
+    accumulation order (VERDICT r2 #3)."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=4)
+    mesh = make_mesh((2,), ("rows",))
+    orig = pk._pick_chunk_spp
+    try:
+        # force multi-chunk at test size; spp=9 yields a UNIFORM schedule
+        # ([1, 4, 4]) so the fused lax.scan branch runs
+        pk._pick_chunk_spp = lambda spp, *a, **k: min(spp, 2)
+        a = render_image_sharded_pallas(
+            scene, cam, W, H, 9, key, mesh, opts
+        )
+        b = render_image_sharded_pallas(
+            scene, cam, W, H, 9, key, mesh,
+            dataclasses.replace(opts, sort_pixels=False),
+        )
+    finally:
+        pk._pick_chunk_spp = orig
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_pallas_sorted_matches_single_chip(setup, key):
+    """Sorted sharded render vs the sorted single-chip render: per-pixel
+    accumulation order depends only on the (identical) chunk schedule,
+    never on lane placement, so a pure-rows mesh reproduces the
+    single-chip image bitwise."""
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=4)
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *a, **k: min(spp, 2)
+        img = render_image_sharded_pallas(
+            scene, cam, W, H, 9, key, make_mesh((2,), ("rows",)), opts
+        )
+        single = pk.render_image_pallas(
+            scene, derive_camera(cam), W, H, 9, key, opts
+        )
+    finally:
+        pk._pick_chunk_spp = orig
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(single))
+
+
+def test_sharded_progressive_static_scene_split(key):
+    """make_sharded_step_fn with static scene/camera hints runs the
+    split-scan analysis at build time; frames must match the hint-less
+    step bitwise (the split scan is exact)."""
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    scene = make_scene(
+        [((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),
+         ((0, 1, 0), 1.0, Material.glass(1.5))]
+        + [((4 * i, 3, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1)))
+           for i in range(1, 10)]
+    )
+    cam = presets.simple_camera(W, H)
+    opts = TraceOptions(max_depth=3, backend="pallas")
+    split = pk._containable_split(scene, derive_camera(cam), opts)
+    assert split is not None and split[1] < pk._pad_spheres(scene.count)
+
+    mesh = make_mesh((2,), ("rows",))
+    step_h = make_sharded_step_fn(
+        W, H, mesh, spp=1, opts=opts, static_scene=scene,
+        static_camera=cam,
+    )
+    step_0 = make_sharded_step_fn(W, H, mesh, spp=1, opts=opts)
+    sa = shard_render_state(init_render_state(W, H, key), mesh)
+    sb = shard_render_state(init_render_state(W, H, key), mesh)
+    for _ in range(2):
+        sa, _ = step_h(sa, scene, cam, DebugParams.none())
+        sb, _ = step_0(sb, scene, cam, DebugParams.none())
+    np.testing.assert_array_equal(np.asarray(sa.accum), np.asarray(sb.accum))
