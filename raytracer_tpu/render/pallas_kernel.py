@@ -40,8 +40,12 @@ Design notes (vs. both the GLSL kernel and the plain-jnp tracer):
   and the near-zero Lambertian guard follows ``opts.near_zero_guard``
   (shader.frag:222-225), like the jnp tracer.
 
-Debug AOVs (cursor marker/outline) are served by the jnp tracer;
-``render_image_pallas`` falls back automatically when ``opts.enable_debug``.
+The debug overlay (cursor marker / selection outline, shader.frag:306-318)
+runs IN the kernel when ``opts.enable_debug``: uniforms ride the SMEM
+table (slots 19-22), the winner's uuid rides row 11 of the gather table,
+and the overlay is two masked selects in the bounce body — interactive
+debugging runs at kernel speed. The AOV images (normal/depth/uuid/front)
+remain on the jnp tracer (render/debug.py).
 """
 
 from __future__ import annotations
@@ -513,6 +517,34 @@ def _make_kernel(
             sgn = jnp.where(front, 1.0, -1.0)
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
+            if opts.enable_debug:
+                # in-kernel debug overlay (shader.frag:306-318, uniforms
+                # src/webgl.rs:579-590): cursor-proximity marker (solid
+                # blue within 0.1 of u_cursor_point) and selection
+                # outline (solid red on the selected sphere at grazing
+                # incidence) terminate the sample with a FIXED color
+                # before scatter — identical to the jnp tracer's branch.
+                cur_x, cur_y, cur_z = uni_ref[19], uni_ref[20], uni_ref[21]
+                sel = uni_ref[22]
+                dcx = hpx - cur_x
+                dcy = hpy - cur_y
+                dcz = hpz - cur_z
+                cursor_hit = (
+                    alive_b & hit
+                    & (dcx * dcx + dcy * dcy + dcz * dcz
+                       < jnp.float32(0.01))
+                )
+                # row 11 of the gather table: winner's uuid (slot index;
+                # the debug path disables the containable permutation so
+                # it matches picking's sphere id)
+                uuid_w = gat_ref[11]
+                outline = (
+                    alive_b & hit & jnp.logical_not(cursor_hit)
+                    & (uuid_w == sel)
+                    & (_dot3(dx, dy, dz, nx, ny, nz)
+                       > jnp.float32(-0.05))
+                )
+
             # --- scatter (shader.frag:210-286), branch-free ---
             uvx, uvy, uvz = _unit_vec(pix, ctr, 0)
             usx, usy, usz = _unit_sphere(pix, ctr, 3)
@@ -582,6 +614,13 @@ def _make_kernel(
             # --- terminations and continuations -------------------------
             miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
             scat = alive_b & hit & did_scatter
+            if opts.enable_debug:
+                # debug-marked lanes end their sample here (the GLSL
+                # kernel's early returns, shader.frag:310/314)
+                scat = (
+                    scat & jnp.logical_not(cursor_hit)
+                    & jnp.logical_not(outline)
+                )
 
             # sky on miss (shader.frag:289-294, 331-335) — throughput
             # BEFORE this bounce's albedo, as in the bounce-loop original
@@ -593,6 +632,16 @@ def _make_kernel(
             con_r = jnp.where(miss, cr * sky_r, zero)
             con_g = jnp.where(miss, cg * sky_g, zero)
             con_b = jnp.where(miss, cb * sky_b, zero)
+            if opts.enable_debug:
+                # fixed overlay colors, NOT throughput-scaled (the
+                # reference writes them straight to the fragment):
+                # cursor marker blue (0,0,1), outline red (1,0,0).
+                # Disjoint from miss (both require a hit).
+                con_r = jnp.where(cursor_hit, zero, con_r)
+                con_r = jnp.where(outline, one, con_r)
+                con_g = jnp.where(cursor_hit | outline, zero, con_g)
+                con_b = jnp.where(cursor_hit, one, con_b)
+                con_b = jnp.where(outline, zero, con_b)
 
             cr = jnp.where(scat, cr * al_r, cr)
             cg = jnp.where(scat, cg * al_g, cg)
@@ -748,9 +797,15 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
             scene.fuzz,
             scene.refraction_index,
             k1,
+            # row 11: sphere uuid (slot index) for the in-kernel debug
+            # selection outline (u_selected_object, shader.frag:101/313)
+            # — exact through the bf16 split like every other row; the
+            # debug path disables the containable permutation so slot
+            # index == the user-visible sphere id (picking parity)
+            jnp.arange(scene.count, dtype=jnp.float32),
         ]
     ).astype(jnp.float32)
-    rows = jnp.pad(rows, ((0, 5), (0, s_pad - scene.count)))
+    rows = jnp.pad(rows, ((0, 4), (0, s_pad - scene.count)))
     # The bf16 rounding is done with integer bit ops, NOT astype round-trips:
     # inside jit, XLA's excess-precision simplifier folds f32->bf16->f32
     # conversion pairs into the identity, which silently turns the split
@@ -949,18 +1004,24 @@ def _sphere_table(scene: Scene) -> jnp.ndarray:
     return table
 
 
-def _camera_uniforms(dcam: DerivedCamera) -> jnp.ndarray:
-    u = jnp.concatenate(
-        [
-            dcam.origin,
-            dcam.lower_left_corner,
-            dcam.horizontal,
-            dcam.vertical,
-            dcam.u,
-            dcam.v,
-            dcam.lens_radius[None],
-        ]
-    ).astype(jnp.float32)
+def _camera_uniforms(dcam: DerivedCamera, debug=None) -> jnp.ndarray:
+    parts = [
+        dcam.origin,
+        dcam.lower_left_corner,
+        dcam.horizontal,
+        dcam.vertical,
+        dcam.u,
+        dcam.v,
+        dcam.lens_radius[None],
+    ]
+    if debug is not None:
+        # slots 19-22: u_cursor_point / u_selected_object analogs
+        # (src/webgl.rs:579-590) for the in-kernel debug overlay
+        parts.append(jnp.asarray(debug.cursor_point, jnp.float32))
+        parts.append(
+            jnp.asarray(debug.selected_object, jnp.float32)[None]
+        )
+    u = jnp.concatenate(parts).astype(jnp.float32)
     return jnp.pad(u, (0, 32 - u.shape[0]))
 
 
@@ -980,6 +1041,7 @@ def _render_chunk_impl(
     pixel_map=None,
     k_slots: int = 1,
     g_full: int | None = None,
+    debug=None,
 ):
     """One kernel launch tracing chunk_spp samples of k_slots pixels per
     lane; returns (nt, 4K+1, r, l): channels [0,3K) slot-major linear rgb
@@ -1012,7 +1074,7 @@ def _render_chunk_impl(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
     ]
-    args = [_camera_uniforms(dcam), seeds, _sphere_table(scene),
+    args = [_camera_uniforms(dcam, debug), seeds, _sphere_table(scene),
             _params_table_t(scene)]
     if pixel_map is not None:
         in_specs.append(
@@ -1062,13 +1124,14 @@ def _render_chunk_profiled(
     interpret: bool,
     k_slots: int,
     g_full: int | None,
+    debug=None,
 ):
     """The profile chunk FUSED with its plan: one device program renders
     the first (unsorted) chunk and turns its per-pixel path costs into the
     first sorted-render plan — no intermediate dispatch."""
     out0 = _render_chunk_impl(
         scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
-        interpret, k_slots=k_slots, g_full=g_full,
+        interpret, k_slots=k_slots, g_full=g_full, debug=debug,
     )
     return _profile_to_plan(out0, width, height, r_sub, k_slots)
 
@@ -1099,6 +1162,7 @@ def _render_chunk_sorted(
     k_slots: int,
     plan_next: bool,
     g_full: int | None,
+    debug=None,
 ):
     """One sorted-layout chunk FUSED with its accumulate + next-chunk plan:
     a single device program per chunk instead of two, halving the ~50-90 ms
@@ -1110,7 +1174,7 @@ def _render_chunk_sorted(
     out = _render_chunk_impl(
         scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
         r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
-        g_full=g_full,
+        g_full=g_full, debug=debug,
     )
     acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
     if plan_next:
@@ -1320,6 +1384,7 @@ def _render_chunks_scan(
     interpret: bool,
     k_slots: int,
     g_full: int | None,
+    debug=None,
 ):
     """ALL n uniform sorted chunks in one device program: a lax.scan whose
     body is render + accumulate + next-chunk re-plan (the same fusion as
@@ -1333,7 +1398,7 @@ def _render_chunks_scan(
         out = _render_chunk_impl(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
             r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
-            g_full=g_full,
+            g_full=g_full, debug=debug,
         )
         acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
         inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
@@ -1358,6 +1423,7 @@ def _render_pallas(
     r_sub: int,
     interpret: bool,
     k_slots: int,
+    debug=None,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
@@ -1366,7 +1432,12 @@ def _render_pallas(
     # spheres to the front so the scan's near-only suffix is one aligned
     # block. Pure layout — only argmin TIE-breaking among exactly
     # coincident surfaces can differ, as with any sphere reordering.
-    split = _containable_split(scene, dcam, opts)
+    # Debug renders skip it: the selection outline compares the winner's
+    # slot index against picking's sphere id, so the layout must stay the
+    # user's scene order (and interactive debug perf doesn't need it).
+    split = None if opts.enable_debug else _containable_split(
+        scene, dcam, opts
+    )
     if split is not None:
         perm, g_full = split
         if perm is not None:
@@ -1395,7 +1466,7 @@ def _render_pallas(
             # order — bitwise-equal images
             out = _render_chunk(
                 scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret, k_slots=k_slots, g_full=g_full,
+                interpret, k_slots=k_slots, g_full=g_full, debug=debug,
             )
             acc = out if acc is None else acc + out
             offset += cs
@@ -1414,14 +1485,14 @@ def _render_pallas(
     # identical to the unsorted render.
     acc, segments, inv, pixel_map = _render_chunk_profiled(
         scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
-        k_slots, g_full,
+        k_slots, g_full, debug=debug,
     )
     if uniform:
         # whole sorted run = ONE device program (see _render_chunks_scan)
         acc, segments = _render_chunks_scan(
             scene, dcam, seed, jnp.int32(chunk0), acc, segments, inv,
             pixel_map, width, height, sizes[1], len(sizes) - 1, opts,
-            r_sub, interpret, k_slots, g_full,
+            r_sub, interpret, k_slots, g_full, debug=debug,
         )
     else:
         offset = chunk0
@@ -1429,7 +1500,7 @@ def _render_pallas(
             acc, segments, inv, pixel_map = _render_chunk_sorted(
                 scene, dcam, seed, offset, acc, segments, inv, pixel_map,
                 width, height, cs, opts, r_sub, interpret, k_slots,
-                plan_next=offset + cs < spp, g_full=g_full,
+                plan_next=offset + cs < spp, g_full=g_full, debug=debug,
             )
             offset += cs
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
@@ -1454,16 +1525,17 @@ def render_image_pallas(
 ):
     """Pallas megakernel render.
 
-    Debug-AOV renders fall back to the jnp tracer (cursor marker /
-    selection outline need picking state).
+    ``opts.enable_debug`` runs the cursor-marker / selection-outline
+    overlay IN the kernel (shader.frag:306-318 — two masked selects in
+    the bounce body, uniforms via the SMEM table), so interactive
+    debugging runs at kernel speed (VERDICT r2 #4).
     """
-    if opts.enable_debug:
-        from raytracer_tpu.render.tracer import render_image_jnp
+    if opts.enable_debug and debug is None:
+        from raytracer_tpu.render.options import DebugParams
 
-        return render_image_jnp(
-            scene, dcam, width, height, spp, key, opts, debug,
-            return_stats=return_stats,
-        )
+        debug = DebugParams.none()
+    if not opts.enable_debug:
+        debug = None  # identical trace to the non-debug kernel
     interpret = jax.default_backend() != "tpu"
     # small tiles for small images
     while r_sub > 8 and width * height < r_sub * LANES:
@@ -1474,5 +1546,5 @@ def render_image_pallas(
         k_slots //= 2
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
-        interpret, k_slots,
+        interpret, k_slots, debug=debug,
     )
