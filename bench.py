@@ -267,11 +267,16 @@ def main() -> int:
             # the independent jnp wavefront tracer under reference physics
             import dataclasses
 
-            # reduced resolution, FULL spp and depth: the jnp tracer's
-            # sequential per-sphere fori (50 bounces x 512 spheres of tiny
-            # steps) crashes the TPU worker at full resolution; ~60k pixels
-            # x 500 spp is still a strong statistical parity test
-            wc, hc = min(w, 304), min(h, 200)
+            # FULL frame by default (the jnp path now row-bands its
+            # executions under the device watchdog budget — VERDICT r2
+            # #6); BENCH_CONVERGENCE=crop keeps the fast 304x200 check.
+            # The full-frame jnp reference at 500 spp runs for HOURS on
+            # one chip (sequential per-sphere scan at full depth) — it is
+            # a ground-truth capture, not a routine gate.
+            if os.environ.get("BENCH_CONVERGENCE") == "crop":
+                wc, hc = min(w, 304), min(h, 200)
+            else:
+                wc, hc = w, h
             img_p, _ = render_image(
                 scene, cam, wc, hc, spp, key, opts, return_stats=True
             )
