@@ -261,6 +261,47 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+        if os.environ.get("BENCH_ADAPTIVE"):
+            # adaptive-sampling companion (never the headline): same
+            # render with per-pixel early termination at the given 95%-CI
+            # tolerance; reports wall, effective mean spp, and measured
+            # mean|Δ| vs this run's fixed-spp image (VERDICT r2 #9)
+            import dataclasses
+
+            tol = float(os.environ.get("BENCH_ADAPTIVE"))
+            opts_a = dataclasses.replace(opts, adaptive_tolerance=tol)
+            img_fixed, _ = render_image(
+                scene, cam, w, h, spp, key, opts, return_stats=True
+            )
+            img_fixed = np.asarray(img_fixed)
+
+            def run_a(k):
+                img, stats = render_image(
+                    scene, cam, w, h, spp, k, opts_a, return_stats=True
+                )
+                np.asarray(img)
+                return img, stats
+
+            run_a(key)
+            best_a, mspp = None, 0.0
+            for i in range(repeats):
+                t0 = time.perf_counter()
+                img_a, stats_a = run_a(jax.random.fold_in(key, i))
+                dt = time.perf_counter() - t0
+                if best_a is None or dt < best_a:
+                    best_a = dt
+                    mspp = float(stats_a.get("mean_spp", spp))
+            mad_a = float(np.abs(np.asarray(img_a) - img_fixed).mean())
+            result["adaptive_tol"] = tol
+            result["adaptive_wall_s"] = round(best_a, 3)
+            result["adaptive_mean_spp"] = round(mspp, 1)
+            result["adaptive_mad_vs_fixed"] = round(mad_a, 6)
+            print(
+                f"adaptive(tol={tol}): wall={best_a:.3f}s mean_spp="
+                f"{mspp:.1f}/{spp} mean|Δ| vs fixed = {mad_a:.2e}",
+                file=sys.stderr,
+            )
+
         if os.environ.get("BENCH_CONVERGENCE"):
             # device-side convergence check at the full benchmark spp:
             # the Pallas kernel (with the benchmark's RR setting) against

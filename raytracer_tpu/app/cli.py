@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = off; faster deep renders, slightly more variance)",
     )
     p.add_argument(
+        "--adaptive",
+        type=float,
+        default=0.0,
+        metavar="TOL",
+        help="adaptive sampling: stop sampling a pixel once its 95%% CI "
+        "on mean luminance is within TOL (relative); 0 = fixed spp",
+    )
+    p.add_argument(
         "--book-physics",
         action="store_true",
         help="canonical RTiOW physics (black on depth exhaustion + near-zero "
@@ -86,6 +94,7 @@ def main(argv=None) -> int:
         exhaust_black=args.book_physics,
         near_zero_guard=args.book_physics,
         russian_roulette_depth=args.russian_roulette,
+        adaptive_tolerance=args.adaptive,
     )
     key = jax.random.PRNGKey(args.seed)
 
@@ -115,6 +124,9 @@ def main(argv=None) -> int:
         # through the device tunnel (CLAUDE.md timing rule)
         image = np.asarray(image)
         segments = float(stats["segments"])
+        if "mean_spp" in stats:
+            print(f"adaptive: mean effective spp "
+                  f"{float(stats['mean_spp']):.1f} of {spp}")
     elapsed = time.perf_counter() - t0
 
     from raytracer_tpu.app import io

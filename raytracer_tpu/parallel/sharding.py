@@ -229,9 +229,15 @@ def render_image_sharded_pallas(
     streams, so the full-mesh render equals the single-chip render up to
     f32 summation order. One psum of linear color per render rides the ICI.
     """
+    import dataclasses
+
     from raytracer_tpu.render import pallas_kernel as pk
 
     opts = opts or TraceOptions()
+    if opts.adaptive_tolerance > 0.0:
+        # adaptive sampling is single-chip for now: the sharded paths
+        # run the fixed-spp (4-channel) accumulator layout
+        opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
     rows = mesh.shape["rows"]
     spp_axis = "spp" if "spp" in mesh.shape else None
     spp_size = mesh.shape.get("spp", 1)
@@ -490,8 +496,12 @@ def _make_sharded_step_fn_pallas(
     for multi-launch spp_local, to chunk-summation order — the shard body
     chunks uniformly while single-chip uses _chunk_schedule). The
     accumulation buffer stays row-sharded frame to frame."""
+    import dataclasses
+
     from raytracer_tpu.render import pallas_kernel as pk
 
+    if opts.adaptive_tolerance > 0.0:
+        opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
     rows = mesh.shape["rows"]
     spp_axis = "spp" if "spp" in mesh.shape else None
     spp_size = mesh.shape.get("spp", 1)

@@ -46,6 +46,18 @@ class TraceOptions:
     #: (a tile runs until its most expensive lane finishes; sorting turns
     #: the per-tile max into ≈ the mean). Bitwise-identical output.
     sort_pixels: bool = True
+    #: adaptive sampling (0 disables — the default; the fixed-spp render
+    #: is the parity/benchmark path). When > 0, the Pallas sorted
+    #: multi-chunk render stops sampling a pixel once its 95% confidence
+    #: interval on mean luminance is within ``adaptive_tolerance``
+    #: (relative, +0.02 absolute floor) — decided at CHUNK granularity
+    #: from per-pixel (n, sum lum^2) stats carried in the accumulator,
+    #: with converged pixels packed last by the plan so their lanes die
+    #: at launch. Per-pixel sample counts vary; the image is the
+    #: per-pixel mean (unbiased given the count; the sequential stopping
+    #: rule itself is the standard mildly-biased production-renderer
+    #: trade). Beyond the reference (which has no adaptive mode).
+    adaptive_tolerance: float = 0.0
     #: static scene analysis for the Pallas scan: spheres that provably
     #: cannot contain a ray origin (not glass, no other sphere's surface
     #: inside them, camera outside) skip the far-root fallback of the

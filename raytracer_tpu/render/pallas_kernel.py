@@ -135,6 +135,7 @@ def _make_kernel(
     permuted: bool = False,
     k_slots: int = 1,
     g_full: int | None = None,
+    adaptive: bool = False,
 ):
     # slots [0, g_full) run the full near→far root fallback; slots beyond
     # are statically known to never contain a ray origin (see
@@ -147,6 +148,10 @@ def _make_kernel(
     draws_per_bounce = 8
     draws_per_sample = 4 + max_depth * draws_per_bounce
     wp = tiles_x * LANES
+    # accumulator channels per pixel slot: rgb(3) + path cost(1), plus
+    # sample count + luminance^2 sums when adaptive sampling is on (the
+    # per-pixel variance that drives chunk-granular early termination)
+    nacc = 6 if adaptive else 4
 
     dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
 
@@ -210,6 +215,14 @@ def _make_kernel(
             pyk = [
                 pix_ref[0, 1, k].astype(jnp.float32) for k in range(k_slots)
             ]
+            if adaptive:
+                # plane 2: per-lane remaining sample budget for each slot
+                # (0 = the pixel is converged; the plan computes these
+                # from the cumulative rgb/n/lum2 stats each chunk)
+                budk = [
+                    pix_ref[0, 2, k].astype(jnp.float32)
+                    for k in range(k_slots)
+                ]
 
             def pixel_xy(k_f):
                 if k_slots == 1:
@@ -306,7 +319,9 @@ def _make_kernel(
         # color sum, 3K+k its per-lane path cost, 4K the tile's segment
         # count — and the carry count DROPS vs. the register-accumulator
         # form.
-        out_ref[0] = jnp.zeros((4 * k_slots + 1, r_sub, LANES), jnp.float32)
+        out_ref[0] = jnp.zeros(
+            (nacc * k_slots + 1, r_sub, LANES), jnp.float32
+        )
         s_f0 = zero
         px0, py0, pix0, in0 = pixel_state(zero)
         ox, oy, oz, dx, dy, dz = gen_ray(s_f0, px0, py0, pix0)
@@ -693,16 +708,58 @@ def _make_kernel(
             # advance to their next pixel slot (monotone into the padding
             # suffix, so an out-of-image slot ends the lane for good)
             done = alive_b & jnp.logical_not(scat_cont)
+            if adaptive:
+                # per-sample convergence stats: completed-sample count and
+                # luminance^2 sums (con_* is this sample's contribution —
+                # zero for absorbed/RR-killed samples, which is the
+                # correct sample value for the variance estimate)
+                lum = (con_r + con_g + con_b) * jnp.float32(1.0 / 3.0)
+                l2 = lum * lum
+                df = done.astype(jnp.float32)
+                for k in range(k_slots):
+                    out_ref[0, 4 * k_slots + k] = (
+                        out_ref[0, 4 * k_slots + k] + df * ohk[k]
+                    )
+                    out_ref[0, 5 * k_slots + k] = (
+                        out_ref[0, 5 * k_slots + k] + l2 * ohk[k]
+                    )
             s_f = s_f + done.astype(jnp.float32)
-            if k_slots > 1:
-                adv = done & (s_f >= jnp.float32(spp))
-                k_f = k_f + adv.astype(jnp.float32)
-                s_f = jnp.where(adv, zero, s_f)
-            px2, py2, pix2, in2 = pixel_state(k_f)
-            regen = (
-                done & (s_f < jnp.float32(spp))
-                & (k_f < jnp.float32(k_slots)) & in2
-            )
+            if adaptive and permuted:
+                # per-slot sample budgets (0 = converged pixel). The plan
+                # packs converged pixels LAST, so along a lane's K slots
+                # budgets are monotone non-increasing and a single
+                # advance step is sound (same invariant as padding).
+                def bud_of(kf):
+                    if k_slots == 1:
+                        return budk[0]
+                    b = zero
+                    for k in range(k_slots):
+                        b = b + (
+                            kf == jnp.float32(k)
+                        ).astype(jnp.float32) * budk[k]
+                    return b
+
+                bud = bud_of(k_f)
+                if k_slots > 1:
+                    adv = done & (s_f >= bud)
+                    k_f = k_f + adv.astype(jnp.float32)
+                    s_f = jnp.where(adv, zero, s_f)
+                    bud = bud_of(k_f)
+                px2, py2, pix2, in2 = pixel_state(k_f)
+                regen = (
+                    done & (s_f < bud)
+                    & (k_f < jnp.float32(k_slots)) & in2
+                )
+            else:
+                if k_slots > 1:
+                    adv = done & (s_f >= jnp.float32(spp))
+                    k_f = k_f + adv.astype(jnp.float32)
+                    s_f = jnp.where(adv, zero, s_f)
+                px2, py2, pix2, in2 = pixel_state(k_f)
+                regen = (
+                    done & (s_f < jnp.float32(spp))
+                    & (k_f < jnp.float32(k_slots)) & in2
+                )
             nox, noy, noz, ndx2, ndy2, ndz2 = gen_ray(s_f, px2, py2, pix2)
 
             ox = jnp.where(scat_cont, hpx, ox)
@@ -747,8 +804,13 @@ def _make_kernel(
             return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
                     s_f, i_f, k_f, alive, segs)
 
+        alive0 = in0.astype(jnp.float32)
+        if adaptive and permuted:
+            # converged (budget-0) slots pack last in the plan, so a lane
+            # whose FIRST slot has no budget has nothing to do at all
+            alive0 = alive0 * (budk[0] > 0.0).astype(jnp.float32)
         init = (ox, oy, oz, dx, dy, dz, one, one, one,
-                s_f0, zero, zero, in0.astype(jnp.float32),
+                s_f0, zero, zero, alive0,
                 jnp.float32(0.0))
         if has_self:
             init = init + (zero,) * 11
@@ -757,7 +819,7 @@ def _make_kernel(
         # last channel carries this tile's segment count (scalar,
         # broadcast) — SMEM (1,1) output blocks aren't supported by the
         # TPU lowering
-        out_ref[0, 4 * k_slots] = jnp.full((r_sub, LANES), segs)
+        out_ref[0, nacc * k_slots] = jnp.full((r_sub, LANES), segs)
 
     return kernel
 
@@ -1057,11 +1119,13 @@ def _render_chunk_impl(
     tiles_x = pl.cdiv(width, LANES)
     tiles_y = pl.cdiv(local_height or height, k_slots * r_sub)
     nt = tiles_x * tiles_y
-    nc = 4 * k_slots + 1
+    adaptive = opts.adaptive_tolerance > 0.0
+    nacc = 6 if adaptive else 4
+    nc = nacc * k_slots + 1
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
         height, opts, tiles_x, permuted=pixel_map is not None,
-        k_slots=k_slots, g_full=g_full,
+        k_slots=k_slots, g_full=g_full, adaptive=adaptive,
     )
     seeds = jnp.stack([
         seed,
@@ -1077,9 +1141,12 @@ def _render_chunk_impl(
     args = [_camera_uniforms(dcam, debug), seeds, _sphere_table(scene),
             _params_table_t(scene)]
     if pixel_map is not None:
+        # planes: [ipx, ipy] (+ per-slot sample budget when adaptive)
+        nplanes = 3 if adaptive else 2
         in_specs.append(
             pl.BlockSpec(
-                (1, 2, k_slots, r_sub, LANES), lambda i: (i, 0, 0, 0, 0)
+                (1, nplanes, k_slots, r_sub, LANES),
+                lambda i: (i, 0, 0, 0, 0),
             )
         )
         args.append(pixel_map)
@@ -1182,18 +1249,20 @@ def _render_chunk_sorted(
     return acc, segments, inv, pixel_map
 
 
-def _accumulate_sorted(out, acc, segments, inv, k_slots: int):
+def _accumulate_sorted(out, acc, segments, inv, k_slots: int,
+                       nacc: int = 4):
     """Fold one sorted-layout chunk's tile sums into the pixel-space
-    accumulator (rgb + cumulative cost) and the segment counter — shared
-    by the chunk-at-a-time path and the fused lax.scan path so their
-    accumulation stays op-for-op identical (bitwise image parity)."""
+    accumulator (rgb + cumulative cost, + n/lum² when adaptive) and the
+    segment counter — shared by the chunk-at-a-time path and the fused
+    lax.scan path so their accumulation stays op-for-op identical
+    (bitwise image parity)."""
     flat = (
-        _rgbc_channels(out, k_slots)
+        _rgbc_channels(out, k_slots, nacc)
         .transpose(2, 0, 1, 3, 4)
-        .reshape(4, -1)
+        .reshape(nacc, -1)
     )
     acc = acc + jnp.take(flat, inv, axis=1)
-    segments = segments + jnp.sum(out[:, 4 * k_slots, 0, 0])
+    segments = segments + jnp.sum(out[:, nacc * k_slots, 0, 0])
     return acc, segments
 
 
@@ -1218,25 +1287,30 @@ def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
     return image, jnp.sum(acc[:, 4 * k_slots, 0, 0])
 
 
-def _rgbc_channels(out, k_slots: int):
-    """(nt, 4K+1, r, l) kernel output → (nt, K, 4, r, l): per pixel slot,
-    [rgb sums, path cost]."""
+def _rgbc_channels(out, k_slots: int, nacc: int = 4):
+    """(nt, nacc·K+1, r, l) kernel output → (nt, K, nacc, r, l): per pixel
+    slot, [rgb sums, path cost] (+ [n, lum²] when adaptive)."""
     nt, _, r, l = out.shape
     rgb = out[:, : 3 * k_slots].reshape(nt, k_slots, 3, r, l)
-    cost = out[:, 3 * k_slots : 4 * k_slots].reshape(nt, k_slots, 1, r, l)
-    return jnp.concatenate([rgb, cost], axis=2)
+    rest = (
+        out[:, 3 * k_slots : nacc * k_slots]
+        .reshape(nt, nacc - 3, k_slots, r, l)
+        .transpose(0, 2, 1, 3, 4)
+    )
+    return jnp.concatenate([rgb, rest], axis=2)
 
 
-def _tiles_to_flat(out, width: int, height: int, r_sub: int, k_slots: int):
-    """Kernel output tile blocks → (4, Hp·Wp) [rgb, cost] in pixel-gid
-    order (gid = ipy·Wp + ipx over the PADDED tile grid)."""
+def _tiles_to_flat(out, width: int, height: int, r_sub: int, k_slots: int,
+                   nacc: int = 4):
+    """Kernel output tile blocks → (nacc, Hp·Wp) channel planes in
+    pixel-gid order (gid = ipy·Wp + ipx over the PADDED tile grid)."""
     tiles_x = pl.cdiv(width, LANES)
     tiles_y = pl.cdiv(height, k_slots * r_sub)
     return (
-        _rgbc_channels(out, k_slots)
-        .reshape(tiles_y, tiles_x, k_slots, 4, r_sub, LANES)
+        _rgbc_channels(out, k_slots, nacc)
+        .reshape(tiles_y, tiles_x, k_slots, nacc, r_sub, LANES)
         .transpose(3, 0, 2, 4, 1, 5)
-        .reshape(4, tiles_y * k_slots * r_sub * tiles_x * LANES)
+        .reshape(nacc, tiles_y * k_slots * r_sub * tiles_x * LANES)
     )
 
 
@@ -1264,6 +1338,53 @@ def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int,
     pixel_map = (
         jnp.stack([ipx, ipy], axis=0)
         .reshape(2, nt, k_slots, r_sub, LANES)
+        .transpose(1, 0, 2, 3, 4)
+    )
+    return inv, pixel_map
+
+
+#: adaptive sampling: minimum samples before a pixel may be declared
+#: converged, and the absolute luminance floor added to the relative
+#: tolerance (so near-black pixels don't demand absurd precision)
+ADAPTIVE_MIN_N = 64
+ADAPTIVE_ABS_FLOOR = 0.02
+
+
+def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
+                   tol: float):
+    """Adaptive variant of :func:`_plan_from_cost`: pixels sorted by
+    (unconverged first, then descending cost), plus a per-pixel sample
+    budget plane (0 for converged pixels, ``cs`` otherwise).
+
+    acc planes: [r, g, b, cost, n, lum2] cumulative sums. Convergence:
+    n >= ADAPTIVE_MIN_N and the 95% CI half-width of mean luminance
+    (sqrt(var/n)·1.96) is within tol·(mean + ADAPTIVE_ABS_FLOOR).
+    Padding pixels (n == 0) count as converged so they keep packing
+    last — along a lane's K slots budgets stay monotone non-increasing,
+    which the kernel's single advance step relies on."""
+    n = acc[4]
+    n_safe = jnp.maximum(n, 1.0)
+    mean = (acc[0] + acc[1] + acc[2]) * (1.0 / 3.0) / n_safe
+    var = jnp.maximum(acc[5] / n_safe - mean * mean, 0.0)
+    ci = 1.96 * jnp.sqrt(var / n_safe)
+    converged = jnp.logical_or(
+        n == 0.0,
+        jnp.logical_and(
+            n >= ADAPTIVE_MIN_N,
+            ci <= tol * (mean + ADAPTIVE_ABS_FLOOR),
+        ),
+    )
+    key = jnp.where(converged, jnp.float32(3e38), -acc[3])
+    order = jnp.argsort(key)  # unconverged expensive first
+    inv = jnp.argsort(order)
+    wp = pl.cdiv(width, LANES) * LANES
+    ipx = (order % wp).astype(jnp.int32)
+    ipy = (order // wp).astype(jnp.int32)
+    budget = jnp.where(converged, 0, cs).astype(jnp.int32)[order]
+    nt = order.shape[0] // (k_slots * r_sub * LANES)
+    pixel_map = (
+        jnp.stack([ipx, ipy, budget], axis=0)
+        .reshape(3, nt, k_slots, r_sub, LANES)
         .transpose(1, 0, 2, 3, 4)
     )
     return inv, pixel_map
@@ -1411,6 +1532,94 @@ def _render_chunks_scan(
     return acc, segments
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
+        "k_slots", "g_full", "cs_next",
+    ),
+)
+def _render_adaptive_profiled(
+    scene, dcam, seed, width, height, chunk_spp, opts, r_sub, interpret,
+    k_slots, g_full, cs_next,
+):
+    """Adaptive profile chunk fused with its plan: renders the first
+    (unsorted, full-budget) chunk, whose n/lum² channels seed the first
+    convergence decision."""
+    out0 = _render_chunk_impl(
+        scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
+        interpret, k_slots=k_slots, g_full=g_full,
+    )
+    acc = _tiles_to_flat(out0, width, height, r_sub, k_slots, 6)
+    segments = jnp.sum(out0[:, 6 * k_slots, 0, 0])
+    inv, pm = _plan_adaptive(
+        acc, width, r_sub, k_slots, cs_next, opts.adaptive_tolerance
+    )
+    return acc, segments, inv, pm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "cs", "n", "opts", "r_sub", "interpret",
+        "k_slots", "g_full",
+    ),
+    donate_argnums=(4, 5),
+)
+def _render_adaptive_scan(
+    scene, dcam, seed, chunk0, acc, segments, inv, pixel_map, width,
+    height, cs, n, opts, r_sub, interpret, k_slots, g_full,
+):
+    """All n uniform adaptive chunks in ONE device program: render →
+    accumulate → re-decide convergence per chunk inside a lax.scan.
+    Converged pixels get budget 0 and pack last, so their tiles' lanes
+    die at launch — effective work tracks the unconverged pixel count
+    with zero extra dispatches."""
+
+    def body(carry, i):
+        acc, segments, inv, pixel_map = carry
+        out = _render_chunk_impl(
+            scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
+            r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
+            g_full=g_full,
+        )
+        acc, segments = _accumulate_sorted(
+            out, acc, segments, inv, k_slots, 6
+        )
+        inv, pixel_map = _plan_adaptive(
+            acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance
+        )
+        return (acc, segments, inv, pixel_map), None
+
+    (acc, segments, _, _), _ = jax.lax.scan(
+        body, (acc, segments, inv, pixel_map),
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    return acc, segments
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "gamma", "r_sub", "k_slots"),
+)
+def _finalize_adaptive(acc, width: int, height: int, gamma: bool,
+                       r_sub: int, k_slots: int):
+    """Per-pixel mean from (rgb sums, n): adaptive renders divide by the
+    pixel's OWN sample count. Returns (image, mean effective spp)."""
+    tiles_x = pl.cdiv(width, LANES)
+    hp = pl.cdiv(height, k_slots * r_sub) * k_slots * r_sub
+    n = jnp.maximum(acc[4], 1.0)
+    image = (
+        (acc[:3] / n)
+        .reshape(3, hp, tiles_x * LANES)
+        .transpose(1, 2, 0)[:height, :width]
+    )
+    if gamma:
+        image = jnp.sqrt(jnp.maximum(image, 0.0))
+    n_img = acc[4].reshape(hp, tiles_x * LANES)[:height, :width]
+    return image, jnp.mean(n_img)
+
+
 def _render_pallas(
     scene: Scene,
     dcam: DerivedCamera,
@@ -1449,6 +1658,33 @@ def _render_pallas(
         spp, width * height, scene.count, opts.max_depth,
         opts.russian_roulette_depth,
     )
+    if opts.adaptive_tolerance > 0.0:
+        import dataclasses
+
+        sizes_a, uniform_a = _chunk_schedule(spp, chunk)
+        if (spp <= chunk or not opts.sort_pixels or not uniform_a
+                or opts.enable_debug):
+            # single-chunk / unsorted / irregular schedules can't gate
+            # later chunks — render fixed-spp (tolerance stripped so the
+            # plain 4-channel kernels serve the whole render)
+            opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
+        else:
+            acc, segments, inv, pm = _render_adaptive_profiled(
+                scene, dcam, seed, width, height, sizes_a[0], opts,
+                r_sub, interpret, k_slots, g_full, cs_next=sizes_a[1],
+            )
+            acc, segments = _render_adaptive_scan(
+                scene, dcam, seed, jnp.int32(sizes_a[0]), acc, segments,
+                inv, pm, width, height, sizes_a[1], len(sizes_a) - 1,
+                opts, r_sub, interpret, k_slots, g_full,
+            )
+            image, mean_spp = _finalize_adaptive(
+                acc, width, height, opts.gamma, r_sub, k_slots
+            )
+            if return_stats:
+                return image, {"segments": segments,
+                               "mean_spp": mean_spp}
+            return image
     # the profile chunk runs UNSORTED (measured 75% tile utilization vs
     # 93-95% sorted on the cover scene), so keep it short — roughly half
     # the base budget profiles plenty (the cumulative re-sort sharpens

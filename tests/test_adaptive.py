@@ -1,0 +1,97 @@
+"""Adaptive per-pixel convergence (interpret mode): quality vs the
+fixed-spp render, early termination actually saving samples, and
+determinism. VERDICT r2 #9 — a capability beyond the reference."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from raytracer_tpu.camera.camera import derive_camera
+from raytracer_tpu.render import pallas_kernel as pk
+from raytracer_tpu.render.options import TraceOptions
+from raytracer_tpu.scene import presets
+
+W, H = 128, 32
+
+
+@pytest.fixture
+def forced_chunks(monkeypatch):
+    # force multi-chunk schedules at test sizes, and let pixels converge
+    # at test spp (production MIN_N is 64)
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda spp, *a, **k: min(spp, 3))
+    monkeypatch.setattr(pk, "ADAPTIVE_MIN_N", 4)
+
+
+def _render(opts, spp=27, key=None):
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    dcam = derive_camera(cam)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    return pk.render_image_pallas(
+        scene, dcam, W, H, spp, key, opts, return_stats=True
+    )
+
+
+def test_adaptive_converges_and_saves_samples(forced_chunks):
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    img_a, stats = _render(opts)
+    img_a = np.asarray(img_a)
+    assert img_a.shape == (H, W, 3)
+    assert np.isfinite(img_a).all()
+    mean_spp = float(stats["mean_spp"])
+    # early termination really happened, but nothing under-sampled the
+    # first chunks
+    assert 3.0 <= mean_spp < 27.0, mean_spp
+    # quality: matches the fixed-27-spp render within MC noise + tol
+    img_f = np.asarray(
+        _render(TraceOptions(max_depth=4))[0]
+    )
+    assert np.abs(img_a - img_f).mean() < 0.04
+
+
+def test_adaptive_deterministic(forced_chunks):
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    a, sa = _render(opts)
+    b, sb = _render(opts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["segments"]) == float(sb["segments"])
+
+
+def test_adaptive_tighter_tolerance_more_samples(forced_chunks):
+    loose = float(_render(
+        TraceOptions(max_depth=4, adaptive_tolerance=0.2)
+    )[1]["mean_spp"])
+    tight = float(_render(
+        TraceOptions(max_depth=4, adaptive_tolerance=0.01)
+    )[1]["mean_spp"])
+    assert tight >= loose
+
+
+def test_adaptive_strips_on_single_chunk():
+    # no forced chunks: spp fits one chunk -> fixed-spp path, no
+    # mean_spp in stats, identical to tolerance-0 render
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    img_a, stats = _render(opts, spp=4)
+    assert "mean_spp" not in stats
+    img_f, _ = _render(TraceOptions(max_depth=4), spp=4)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_f))
+
+
+def test_adaptive_sharded_strips(key):
+    # sharded paths run fixed-spp regardless of the tolerance
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded_pallas,
+    )
+
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    a = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, make_mesh((2,), ("rows",)),
+        TraceOptions(max_depth=3, adaptive_tolerance=0.05),
+    )
+    b = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, make_mesh((2,), ("rows",)),
+        TraceOptions(max_depth=3),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
