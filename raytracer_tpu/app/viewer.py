@@ -129,6 +129,13 @@ def run_viewer(
                         # render-before-save + paused 25-spp floor
                         # (src/dom.rs:115-124, src/webgl.rs:342-347)
                         engine.request_save(f"viewer_{frame}.png")
+                    elif k == "g":
+                        # debug visualization toggle (cursor marker +
+                        # selection outline — runs IN the Pallas kernel)
+                        engine.app.enable_debugging = (
+                            not engine.app.enable_debugging
+                        )
+                        engine.app.should_render = True
                     elif k == "+":
                         engine.handle_wheel(-1.0)
                     elif k == "-":
@@ -161,7 +168,10 @@ def run_viewer(
                 )
                 if fps is not None:
                     status += f"{fps:5.1f} fps "
-                status += "(wasd/ec move, ijkl look, +/- zoom, p pause, x save, q quit)"
+                status += (
+                    "(wasd/ec move, ijkl look, +/- zoom, p pause, "
+                    "g debug, x save, q quit)"
+                )
                 out.write(status + "\x1b[K")
                 out.flush()
 
