@@ -429,3 +429,21 @@ def test_debug_none_matches_plain_render():
         TraceOptions(max_depth=4, enable_debug=True), DebugParams.none(),
     ))
     np.testing.assert_array_equal(plain, dbg)
+
+
+def test_high_spp_parity_tight():
+    """Tightened physics-drift net (r2 verdict weak #8): at 96 spp the
+    independent tracers agree to ~3x the 8-spp noise bound. Measured
+    0.0086 mean|Δ| on this config; 0.012 leaves noise headroom while
+    still catching percent-level physics drift the loose 8-spp bound
+    (0.03) would miss."""
+    scene, cam, *_ = presets.get_config("three_sphere", 64, 32)
+    dcam = derive_camera(cam)
+    opts = TraceOptions(max_depth=8)
+    p = np.asarray(pk.render_image_pallas(
+        scene, dcam, 64, 32, 96, jax.random.PRNGKey(0), opts
+    ))
+    j = np.asarray(render_image_jnp(
+        scene, dcam, 64, 32, 96, jax.random.PRNGKey(0), opts
+    ))
+    assert np.abs(p - j).mean() < 0.012
