@@ -116,7 +116,7 @@ def test_gamma_off():
     np.testing.assert_allclose(g, np.sqrt(np.maximum(lin, 0)), rtol=1e-4, atol=1e-5)
 
 
-def test_debug_falls_back_to_jnp():
+def test_debug_render_smoke():
     from raytracer_tpu.render.options import DebugParams
 
     scene, cam, *_ = presets.get_config("two_sphere", 32, 16)
