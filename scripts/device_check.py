@@ -117,15 +117,22 @@ def main() -> int:
     )
 
     # 4. device physics vs the independent jnp tracer (statistical — the
-    # functional net for sqrt(negative)/poison-sentinel regressions)
+    # functional net for sqrt(negative)/poison-sentinel regressions).
+    # SAME physics both sides (rr0) at 32 spp: measured noise floor on
+    # this glass-heavy crop is ~0.018 mean|d| (two independent 32-spp MC
+    # estimates); 0.025 leaves noise headroom while catching the
+    # wrong-image regressions this gate exists for (historically >0.1).
+    opts32 = TraceOptions(max_depth=8)
+    imgp = np.asarray(pk.render_image_pallas(
+        scene, dcam, 256, 64, 32, k7, opts32
+    ))
     imgj = np.asarray(
-        render_image_jnp(scene, dcam, 256, 64, 10, k7,
-                         TraceOptions(max_depth=8))
+        render_image_jnp(scene, dcam, 256, 64, 32, k7, opts32)
     )
-    d = np.abs(imgs[1] - imgj)
+    d = np.abs(imgp - imgj)
     mad = float(np.nanmean(d))
     n_nan = int(np.isnan(d).sum())
-    check("pallas-vs-jnp", mad < 0.03 and n_nan < 50,
+    check("pallas-vs-jnp", mad < 0.025 and n_nan < 50,
           f"(mean|d| {mad:.4f}, nan px {n_nan})")
 
     if FAILURES:
