@@ -1661,8 +1661,14 @@ def _render_pallas(
     if opts.adaptive_tolerance > 0.0:
         import dataclasses
 
-        sizes_a, uniform_a = _chunk_schedule(spp, chunk)
-        if (spp <= chunk or not opts.sort_pixels or not uniform_a
+        # finer chunks than the watchdog budget needs: convergence is
+        # decided between chunks, so chunk size is the per-pixel
+        # overshoot floor. Half the base budget (bounded below by the
+        # MIN_N the first decision needs) measurably lowers mean
+        # effective spp at identical quality; launches stay fused.
+        chunk_a = min(chunk, max(ADAPTIVE_MIN_N, chunk // 2))
+        sizes_a, uniform_a = _chunk_schedule(spp, chunk_a)
+        if (spp <= chunk_a or not opts.sort_pixels or not uniform_a
                 or opts.enable_debug):
             # single-chunk / unsorted / irregular schedules can't gate
             # later chunks — render fixed-spp (tolerance stripped so the
