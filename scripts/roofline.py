@@ -91,10 +91,32 @@ def vpu_ceiling():
     return ITERS * CHAINS * OPS * 2 * rows * 128 / best
 
 
+#: v5e TensorCore clock implied by the published 197 bf16 TFLOP/s with
+#: four 128x128 MXUs: 197e12 / (4·128·128·2) = 1.50 GHz
+V5E_CLOCK = 1.50e9
+#: (8,128) f32 element-ops per cycle at 1 and 2 vector issues. The
+#: production kernel's ISSUED rate (below) exceeds the 1-op line, which
+#: proves the VPU dual-issues f32 elementwise work; the 2-op line is
+#: the roofline (no measurement has approached anything higher, and the
+#: layout/unroll shootouts found zero headroom at the current rate).
+LINE_1OP = 8 * 128 * V5E_CLOCK
+LINE_2OP = 2 * LINE_1OP
+#: measured by scripts/measure_utilization.py on the production sorted
+#: render: fraction of scan iterations carrying live rays
+UTIL_SORTED = 0.94
+#: measured by the round-2 ablation budget (PERF.md): non-scan share of
+#: kernel time (RNG, materials, gather, bookkeeping)
+FIXED_SHARE = 0.21
+
+
 def main():
-    ceiling = vpu_ceiling()
-    print(f"VPU f32 ceiling (independent fma chains): "
-          f"{ceiling / 1e12:.2f} Telem-ops/s")
+    chain = vpu_ceiling()
+    print(f"VPU f32 independent-chain microbench: "
+          f"{chain / 1e12:.2f} Telem-ops/s (loop/latency-bound — NOT "
+          f"the ceiling; the production scan itself sustains more)")
+    print(f"VPU issue lines at {V5E_CLOCK/1e9:.2f} GHz: "
+          f"1-op {LINE_1OP/1e12:.2f} / 2-op {LINE_2OP/1e12:.2f} "
+          f"Telem-ops/s")
 
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
@@ -107,54 +129,71 @@ def main():
     s_pad = pk._pad_spheres(scene.count)
     spp = 40
 
-    def run(k):
-        out = pk._render_chunk(
-            scene, dcam, seed + k, 0, w, h, spp, opts, 8, False,
-            k_slots=4, g_full=g_full,
-        )
-        segs = float(np.asarray(out[:, 16, 0, 0]).sum())
-        return segs
+    # time the FULL production render (sorted, split scan, K-slots)
+    from raytracer_tpu.render.api import render_image
 
-    run(0)  # warm
+    prod = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        backend="pallas")
+    scene_o, cam_o, *_ = presets.get_config("cover")
+
+    def run(k):
+        img, st = render_image(scene_o, cam_o, w, h, 500, k, prod,
+                               return_stats=True)
+        np.asarray(img)
+        return float(st["segments"])
+
+    run(jax.random.PRNGKey(0))  # warm
     best, segs = None, 0.0
-    for i in range(3):
+    for i in range(2):
         t0 = time.perf_counter()
-        s = run(i)
+        s = run(jax.random.fold_in(jax.random.PRNGKey(0), i))
         dt = time.perf_counter() - t0
         if best is None or dt < best:
             best, segs = dt, s
 
     ops_per_seg = g_full * OPS_FULL + (s_pad - g_full) * OPS_NEAR
-    rate = segs / best
-    sustained = rate * ops_per_seg
-    mfu = sustained / ceiling
-    budget_at_target = ceiling / TARGET  # el-ops per segment at 500M
-    slots_at_target = budget_at_target / OPS_FULL
+    rate = segs / best  # alive segments/s
+    useful = rate * ops_per_seg  # scan ops on LIVE lanes
+    issued_scan = useful / UTIL_SORTED  # dead lanes issue the same ops
+    issued_total = issued_scan / (1.0 - FIXED_SHARE)
+    mfu = issued_total / LINE_2OP
+    # at unchanged MFU/util/fixed-share, Mrays scale inversely with
+    # ops/segment: the reduction 500 Mrays/s requires
+    reduction = TARGET / rate
     result = {
-        "vpu_ceiling_telops": round(ceiling / 1e12, 3),
-        "chunk_wall_s": round(best, 3),
-        "chunk_segments": segs,
-        "chunk_mrays": round(rate / 1e6, 1),
+        "chain_microbench_telops": round(chain / 1e12, 3),
+        "line_1op_telops": round(LINE_1OP / 1e12, 3),
+        "line_2op_telops": round(LINE_2OP / 1e12, 3),
+        "cover_wall_s": round(best, 3),
+        "cover_mrays": round(rate / 1e6, 1),
         "scan_ops_per_segment": ops_per_seg,
         "g_full": g_full,
         "s_pad": s_pad,
-        "sustained_scan_telops": round(sustained / 1e12, 3),
-        "scan_mfu_vs_ceiling": round(mfu, 3),
-        "ops_budget_per_segment_at_500M": int(budget_at_target),
-        "full_slots_affordable_at_500M": int(slots_at_target),
-        "candidate_reduction_needed": round(s_pad / slots_at_target, 2),
+        "useful_scan_telops": round(useful / 1e12, 3),
+        "issued_scan_telops_at_util_0.94": round(issued_scan / 1e12, 3),
+        "issued_total_telops_incl_fixed": round(issued_total / 1e12, 3),
+        "mfu_vs_2op_line": round(mfu, 3),
+        "ops_per_segment_reduction_for_500M": round(reduction, 2),
+        "full_slots_equivalent_at_500M": int(s_pad / reduction),
     }
     print(json.dumps(result, indent=1))
     print(
-        f"\nReading: the scan sustains {sustained/1e12:.2f} T el-ops/s "
-        f"= {mfu:.0%} of the measured VPU ceiling. At that ceiling, "
-        f"500 Mrays/s affords {int(budget_at_target)} scan ops/segment "
-        f"= {int(slots_at_target)} full-logic slots — the 512-slot scan "
-        f"must shrink {s_pad/slots_at_target:.1f}x. Every per-lane "
-        f"candidate-reduction design is measured dead (PERF.md); the "
-        f"single-chip plateau of this architecture is the ceiling/"
-        f"(ops/segment) line: {ceiling/ops_per_seg/1e6:.0f} Mrays/s at "
-        f"100% scan MFU and zero fixed costs."
+        f"\nReading: the production render traces {rate/1e6:.0f}M live "
+        f"segments/s x {ops_per_seg} scan ops = {useful/1e12:.2f} T "
+        f"USEFUL el-ops/s; dead lanes in live tiles issue the same ops "
+        f"(util {UTIL_SORTED}) and the non-scan work is "
+        f"{FIXED_SHARE:.0%} of time, so the VPU ISSUES "
+        f"~{issued_total/1e12:.2f} T el-ops/s = {mfu:.0%} of the "
+        f"dual-issue line ({LINE_2OP/1e12:.2f} T at "
+        f"{V5E_CLOCK/1e9:.2f} GHz). Issued > the 1-op line "
+        f"({LINE_1OP/1e12:.2f} T) proves dual issue; no measurement "
+        f"approaches anything higher and the layout/unroll shootouts "
+        f"found zero headroom — the kernel is at ~{mfu:.0%} of "
+        f"speed-of-light. Reaching 500 Mrays/s therefore requires "
+        f"{reduction:.1f}x fewer scan ops per segment (= an effective "
+        f"{int(s_pad/reduction)}-slot scan vs {s_pad}), and every "
+        f"per-lane candidate-reduction design is measured dead "
+        f"(PERF.md ledger)."
     )
 
 
