@@ -112,7 +112,10 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.progressive_frames > 0:
-        step = make_step_fn(w, h, spp=spp, opts=opts)
+        # scene and camera are fixed for the whole accumulation: hand the
+        # factory concrete hints so the Pallas split-scan analysis runs
+        step = make_step_fn(w, h, spp=spp, opts=opts,
+                            static_scene=scene, static_camera=cam)
         state = init_render_state(w, h, key)
         state, segments = run_frames(step, state, scene, cam, args.progressive_frames)
         image = state.accum

@@ -53,12 +53,21 @@ def make_step_fn(
     max_render_count: int = DEFAULT_MAX_RENDER_COUNT,
     backend: str | None = None,
     jit: bool = True,
+    static_scene: Scene | None = None,
+    static_camera: CameraConfig | None = None,
 ):
     """Build ``step(state, scene, camera, debug) -> (state', aux)``.
 
     Resolution/spp/depth are compile-time constants; camera and scene are
     traced, so interactive motion never recompiles (SURVEY §7 hard part 5).
     ``aux['segments']`` counts traced ray-bounces for Mrays/s telemetry.
+
+    ``static_scene``/``static_camera``: optional CONCRETE copies of what
+    every ``step`` call will receive. Fixed-scene accumulation sessions
+    (e.g. the CLI's --progressive-frames) get the Pallas split-scan
+    static analysis at build time; interactive sessions (scene edits, a
+    flying camera) must omit them — the default keeps full near→far
+    logic. Same contract as the sharded factory.
 
     NOTE: the input state is DONATED (its buffers are updated in place on
     device); do not reuse it after the call — use the returned state.
@@ -76,6 +85,19 @@ def make_step_fn(
     # and the realtime path must hit the fast kernel on TPU (VERDICT r2 #7)
     opts = dataclasses.replace(opts, backend=resolve_backend(opts.backend))
 
+    # fixed-scene sessions: run the split-scan analysis once at build time
+    # on the concrete hints (traced scenes can't be analyzed per frame)
+    perm, g_full = None, None
+    if (opts.backend == "pallas" and static_scene is not None
+            and static_camera is not None and not opts.enable_debug):
+        from raytracer_tpu.render import pallas_kernel as pk
+
+        split = pk._containable_split(
+            static_scene, derive_camera(static_camera), opts
+        )
+        if split is not None:
+            perm, g_full = split
+
     def step(
         state: RenderState,
         scene: Scene,
@@ -90,6 +112,9 @@ def make_step_fn(
             color, stats = render_image_pallas(
                 scene, dcam, width, height, spp, frame_key, opts, debug,
                 return_stats=True,
+                static_split=(
+                    (perm, g_full) if g_full is not None else None
+                ),
             )
         else:
             color, stats = render_image_jnp(

@@ -1633,6 +1633,7 @@ def _render_pallas(
     interpret: bool,
     k_slots: int,
     debug=None,
+    static_split=None,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
@@ -1644,9 +1645,14 @@ def _render_pallas(
     # Debug renders skip it: the selection outline compares the winner's
     # slot index against picking's sphere id, so the layout must stay the
     # user's scene order (and interactive debug perf doesn't need it).
-    split = None if opts.enable_debug else _containable_split(
-        scene, dcam, opts
-    )
+    # ``static_split`` = a (perm, g_full) computed by the CALLER on
+    # concrete hints (progressive factories: the scene is traced here).
+    if static_split is not None and not opts.enable_debug:
+        split = static_split
+    else:
+        split = None if opts.enable_debug else _containable_split(
+            scene, dcam, opts
+        )
     if split is not None:
         perm, g_full = split
         if perm is not None:
@@ -1764,6 +1770,7 @@ def render_image_pallas(
     return_stats: bool = False,
     r_sub: int = DEFAULT_R_SUB,
     k_slots: int = 4,
+    static_split=None,
 ):
     """Pallas megakernel render.
 
@@ -1788,5 +1795,5 @@ def render_image_pallas(
         k_slots //= 2
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
-        interpret, k_slots, debug=debug,
+        interpret, k_slots, debug=debug, static_split=static_split,
     )

@@ -143,3 +143,35 @@ def test_camera_motion_does_not_recompile(key):
         finally:
             logging.getLogger("jax").removeHandler(handler)
         assert "Compiling" not in stream.getvalue()
+
+
+def test_step_fn_static_split_hints(key):
+    """make_step_fn with concrete scene/camera hints (fixed-scene
+    accumulation) produces bitwise-identical frames to the hint-less
+    step — the split scan is exact."""
+    import numpy as np
+
+    from raytracer_tpu.render import pallas_kernel as pk
+    from raytracer_tpu.scene.materials import Material
+    from raytracer_tpu.scene.spheres import make_scene
+
+    scene = make_scene(
+        [((0, -1000, 0), 1000.0, Material.diffuse((0.5, 0.5, 0.5))),
+         ((0, 1, 0), 1.0, Material.glass(1.5))]
+        + [((4 * i, 3, 0), 1.0, Material.diffuse((0.4, 0.2, 0.1)))
+           for i in range(1, 10)]
+    )
+    cam = presets.simple_camera(64, 32)
+    opts = TraceOptions(max_depth=3, backend="pallas")
+    split = pk._containable_split(scene, derive_camera(cam), opts)
+    assert split is not None  # the hints really engage the analysis
+
+    step_h = make_step_fn(64, 32, spp=1, opts=opts, static_scene=scene,
+                          static_camera=cam)
+    step_0 = make_step_fn(64, 32, spp=1, opts=opts)
+    sa = init_render_state(64, 32, key)
+    sb = init_render_state(64, 32, key)
+    for _ in range(2):
+        sa, _ = step_h(sa, scene, cam, DebugParams.none())
+        sb, _ = step_0(sb, scene, cam, DebugParams.none())
+    np.testing.assert_array_equal(np.asarray(sa.accum), np.asarray(sb.accum))
