@@ -98,6 +98,18 @@ def main(argv=None) -> int:
     )
     key = jax.random.PRNGKey(args.seed)
 
+    if args.adaptive > 0.0:
+        from raytracer_tpu.render.api import resolve_backend
+
+        if resolve_backend(args.backend) != "pallas" or args.progressive_frames > 0:
+            # only the single-chip Pallas batch render carries the
+            # adaptive accumulator layout; anything else runs fixed spp
+            print(
+                "warning: --adaptive requires the Pallas batch backend; "
+                "rendering fixed spp",
+                file=sys.stderr,
+            )
+
     if args.aov:
         from raytracer_tpu.render.debug import render_aov
 

@@ -192,6 +192,19 @@ class Engine:
         if not paused:
             self.app.should_render = True
 
+    def set_debugging(self, enabled: bool) -> None:
+        """Toggle the in-kernel debug overlay (cursor marker + selection
+        outline, static/shader.frag:306-318). The overlay is part of the
+        traced frame, so accumulation restarts — otherwise the marker
+        would blend in at 1/(render_count+1) weight and ghost after
+        toggling off."""
+        if enabled == self.app.enable_debugging:
+            return
+        self.app.enable_debugging = enabled
+        self.render_state = reset_accumulation(self.render_state)
+        self.app.render_count = 0
+        self.app.should_render = True
+
     # --- camera mutation with change-detection ---------------------------
 
     def _apply_camera(self, new_cam: CameraConfig, update_cursor=False) -> None:

@@ -131,11 +131,10 @@ def run_viewer(
                         engine.request_save(f"viewer_{frame}.png")
                     elif k == "g":
                         # debug visualization toggle (cursor marker +
-                        # selection outline — runs IN the Pallas kernel)
-                        engine.app.enable_debugging = (
-                            not engine.app.enable_debugging
-                        )
-                        engine.app.should_render = True
+                        # selection outline — runs IN the Pallas kernel;
+                        # restarts accumulation so the overlay shows/clears
+                        # immediately)
+                        engine.set_debugging(not engine.app.enable_debugging)
                     elif k == "+":
                         engine.handle_wheel(-1.0)
                     elif k == "-":

@@ -137,7 +137,11 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
 
     Returns (acc (4, Hp_local·Wp) flat pixel sums, segments scalar).
     Within a shard, sorted and unsorted renders are bitwise-equal (same
-    chunk schedule, same per-pixel accumulation order)."""
+    chunk schedule, same per-pixel accumulation order).
+
+    This is ``pallas_kernel._render_pallas``'s sorted branch called with
+    the band arguments — the profile/scan/loop drivers are SHARED, so the
+    two paths cannot drift apart."""
     from raytracer_tpu.render import pallas_kernel as pk
 
     row_offset = jax.lax.axis_index("rows") * local_h
@@ -147,53 +151,28 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
     )
     sizes, uniform = pk._chunk_schedule(spp_local, chunk)
     chunk0 = sizes[0]
-    out0 = pk._render_chunk_impl(
-        scene, dcam, seed, samp0, width, height, chunk0, opts, r_sub,
-        interpret, local_height=local_h, row_offset=row_offset,
-        k_slots=k_slots, g_full=g_full,
+    acc, segments, inv, pm = pk._render_chunk_profiled(
+        scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
+        k_slots, g_full, sample_offset=samp0, local_height=local_h,
+        row_offset=row_offset,
     )
-    acc = pk._tiles_to_flat(out0, width, local_h, r_sub, k_slots)
-    segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
-    inv, pm = pk._plan_from_cost(acc[3], width, r_sub, k_slots, row_offset)
     if uniform and len(sizes) > 1:
-        cs, n = sizes[1], len(sizes) - 1
-
-        def body(carry, i):
-            acc, segments, inv, pm = carry
-            out = pk._render_chunk_impl(
-                scene, dcam, seed, samp0 + chunk0 + i * cs, width, height,
-                cs, opts, r_sub, interpret, local_height=local_h,
-                row_offset=row_offset, pixel_map=pm, k_slots=k_slots,
-                g_full=g_full,
-            )
-            acc, segments = pk._accumulate_sorted(
-                out, acc, segments, inv, k_slots
-            )
-            inv, pm = pk._plan_from_cost(
-                acc[3], width, r_sub, k_slots, row_offset
-            )
-            return (acc, segments, inv, pm), None
-
-        (acc, segments, _, _), _ = jax.lax.scan(
-            body, (acc, segments, inv, pm), jnp.arange(n, dtype=jnp.int32)
+        acc, segments = pk._render_chunks_scan(
+            scene, dcam, seed, samp0 + chunk0, acc, segments, inv, pm,
+            width, height, sizes[1], len(sizes) - 1, opts, r_sub,
+            interpret, k_slots, g_full, local_height=local_h,
+            row_offset=row_offset,
         )
     else:
         offset = chunk0
         for cs in sizes[1:]:
-            out = pk._render_chunk_impl(
-                scene, dcam, seed, samp0 + offset, width, height, cs,
-                opts, r_sub, interpret, local_height=local_h,
-                row_offset=row_offset, pixel_map=pm, k_slots=k_slots,
-                g_full=g_full,
-            )
-            acc, segments = pk._accumulate_sorted(
-                out, acc, segments, inv, k_slots
+            acc, segments, inv, pm = pk._chunk_sorted_step(
+                scene, dcam, seed, samp0 + offset, acc, segments, inv, pm,
+                width, height, cs, opts, r_sub, interpret, k_slots,
+                offset + cs < spp_local, g_full, local_height=local_h,
+                row_offset=row_offset,
             )
             offset += cs
-            if offset < spp_local:
-                inv, pm = pk._plan_from_cost(
-                    acc[3], width, r_sub, k_slots, row_offset
-                )
     return acc, segments
 
 
@@ -238,6 +217,12 @@ def render_image_sharded_pallas(
         # adaptive sampling is single-chip for now: the sharded paths
         # run the fixed-spp (4-channel) accumulator layout
         opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
+    if opts.enable_debug:
+        # the debug overlay is an interactive single-chip feature; the
+        # sharded band helpers never populate the cursor/selection
+        # uniform slots, so honoring the flag here would paint garbage
+        # markers — drop it explicitly (same policy as adaptive above)
+        opts = dataclasses.replace(opts, enable_debug=False)
     rows = mesh.shape["rows"]
     spp_axis = "spp" if "spp" in mesh.shape else None
     spp_size = mesh.shape.get("spp", 1)

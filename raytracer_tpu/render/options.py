@@ -58,6 +58,13 @@ class TraceOptions:
     #: rule itself is the standard mildly-biased production-renderer
     #: trade). Beyond the reference (which has no adaptive mode).
     adaptive_tolerance: float = 0.0
+    #: adaptive chunk size override (0 = auto: half the watchdog chunk
+    #: budget, bounded below by the first decision's ADAPTIVE_MIN_N).
+    #: Chunk size is the per-pixel overshoot floor — a pixel can't stop
+    #: mid-chunk — so smaller chunks converge in less wall time until
+    #: the MIN_N floor / per-chunk overhead dominates (measured matrix
+    #: in PERF.md).
+    adaptive_chunk_spp: int = 0
     #: static scene analysis for the Pallas scan: spheres that provably
     #: cannot contain a ray origin (not glass, no other sphere's surface
     #: inside them, camera outside) skip the far-root fallback of the

@@ -1176,7 +1176,7 @@ _render_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "g_full",
+        "k_slots", "g_full", "local_height",
     ),
 )
 def _render_chunk_profiled(
@@ -1192,15 +1192,24 @@ def _render_chunk_profiled(
     k_slots: int,
     g_full: int | None,
     debug=None,
+    sample_offset=0,
+    local_height: int | None = None,
+    row_offset=0,
 ):
     """The profile chunk FUSED with its plan: one device program renders
     the first (unsorted) chunk and turns its per-pixel path costs into the
-    first sorted-render plan — no intermediate dispatch."""
+    first sorted-render plan — no intermediate dispatch. The keyword tail
+    (sample_offset / local_height / row_offset) serves the sharded band
+    path, which runs this same machinery shard-locally."""
     out0 = _render_chunk_impl(
-        scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
-        interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+        scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
+        r_sub, interpret, local_height=local_height, row_offset=row_offset,
+        k_slots=k_slots, g_full=g_full, debug=debug,
     )
-    return _profile_to_plan(out0, width, height, r_sub, k_slots)
+    return _profile_to_plan(
+        out0, width, local_height if local_height is not None else height,
+        r_sub, k_slots, row_offset,
+    )
 
 
 @functools.partial(
@@ -1238,14 +1247,30 @@ def _render_chunk_sorted(
 
     Returns (acc, segments, inv_next, pixel_map_next) — the latter two are
     passed through unchanged when ``plan_next`` is off."""
+    return _chunk_sorted_step(
+        scene, dcam, seed, sample_offset, acc, segments, inv, pixel_map,
+        width, height, chunk_spp, opts, r_sub, interpret, k_slots,
+        plan_next, g_full, debug=debug,
+    )
+
+
+def _chunk_sorted_step(
+    scene, dcam, seed, sample_offset, acc, segments, inv, pixel_map,
+    width, height, chunk_spp, opts, r_sub, interpret, k_slots,
+    plan_next, g_full, debug=None, local_height=None, row_offset=0,
+):
+    """Unjitted render→accumulate→re-plan step shared by the single-chip
+    chunk-at-a-time path (via the jitted ``_render_chunk_sorted``) and
+    the sharded band path (already inside shard_map's trace)."""
     out = _render_chunk_impl(
         scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
-        r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
-        g_full=g_full, debug=debug,
+        r_sub, interpret, local_height=local_height, row_offset=row_offset,
+        pixel_map=pixel_map, k_slots=k_slots, g_full=g_full, debug=debug,
     )
     acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
     if plan_next:
-        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots,
+                                         row_offset)
     return acc, segments, inv, pixel_map
 
 
@@ -1394,16 +1419,18 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     jax.jit, static_argnames=("width", "height", "r_sub", "k_slots")
 )
 def _profile_to_plan(out0, width: int, height: int, r_sub: int,
-                     k_slots: int):
+                     k_slots: int, row_offset=0):
     """Turn the profiling chunk's output into the first sorted-render plan.
 
     Returns (acc (4, Hp·Wp) pixel-space sums: rgb + cumulative cost,
     segments scalar, inv (Hp·Wp,) inverse lane→pixel permutation,
     pixel_map (nt, 2, k_slots, r_sub, LANES) i32 per-lane [ipx, ipy]
-    assignment)."""
+    assignment). ``height``/``row_offset`` are a shard's band height and
+    absolute band start when called shard-locally."""
     acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
     segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
-    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
+    inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots,
+                                     row_offset)
     return acc, segments, inv, pixel_map
 
 
@@ -1481,7 +1508,7 @@ def _chunk_schedule(spp: int, chunk: int):
     jax.jit,
     static_argnames=(
         "width", "height", "cs", "n", "opts", "r_sub", "interpret",
-        "k_slots", "g_full",
+        "k_slots", "g_full", "local_height",
     ),
     # donate only what the outputs can alias (acc, segments): inv and
     # pixel_map die inside the scan carry
@@ -1506,23 +1533,26 @@ def _render_chunks_scan(
     k_slots: int,
     g_full: int | None,
     debug=None,
+    local_height: int | None = None,
+    row_offset=0,
 ):
     """ALL n uniform sorted chunks in one device program: a lax.scan whose
     body is render + accumulate + next-chunk re-plan (the same fusion as
     ``_render_chunk_sorted``, across chunks). Per-pixel accumulation order
     matches the chunk-at-a-time path exactly, so images are bitwise-equal;
     the last iteration's plan is computed and discarded (one argsort —
-    noise next to a chunk render)."""
+    noise next to a chunk render). ``chunk0`` is the traced base sample
+    offset (a shard folds its spp-axis offset in); local_height/row_offset
+    serve the sharded band path."""
 
     def body(carry, i):
         acc, segments, inv, pixel_map = carry
-        out = _render_chunk_impl(
-            scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
-            r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
-            g_full=g_full, debug=debug,
+        acc, segments, inv, pixel_map = _chunk_sorted_step(
+            scene, dcam, seed, chunk0 + i * cs, acc, segments, inv,
+            pixel_map, width, height, cs, opts, r_sub, interpret, k_slots,
+            True, g_full, debug=debug, local_height=local_height,
+            row_offset=row_offset,
         )
-        acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
-        inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots)
         return (acc, segments, inv, pixel_map), None
 
     (acc, segments, _, _), _ = jax.lax.scan(
@@ -1672,7 +1702,12 @@ def _render_pallas(
         # overshoot floor. Half the base budget (bounded below by the
         # MIN_N the first decision needs) measurably lowers mean
         # effective spp at identical quality; launches stay fused.
-        chunk_a = min(chunk, max(ADAPTIVE_MIN_N, chunk // 2))
+        # adaptive_chunk_spp overrides (still capped by the watchdog
+        # budget `chunk` — a larger value could fault the device).
+        if opts.adaptive_chunk_spp > 0:
+            chunk_a = min(chunk, opts.adaptive_chunk_spp)
+        else:
+            chunk_a = min(chunk, max(ADAPTIVE_MIN_N, chunk // 2))
         sizes_a, uniform_a = _chunk_schedule(spp, chunk_a)
         if (spp <= chunk_a or not opts.sort_pixels or not uniform_a
                 or opts.enable_debug):

@@ -12,6 +12,8 @@ bitwise invariants of the production kernel's three layout machineries:
      (multi-chunk sorted render; exercises the far-root SELF-test).
   3. K-slot invariance: k_slots 1 vs 4 bitwise-identical (forced
      multi-chunk so the sorted/permuted path runs on hardware).
+  3b. sorted sharded path (1-device mesh, k_slots=4) against the
+     single-chip render (maxdiff < 1e-6 — band finalize order differs).
   4. device-vs-reference physics: the Pallas kernel against the
      independent jnp tracer, statistical (catches any wrong-image
      regression of the sqrt(negative)/poison-sentinel class).
@@ -115,6 +117,30 @@ def main() -> int:
         "k-slots", bool(np.array_equal(imgs[0], imgs[1])),
         f"(maxdiff {np.abs(imgs[0] - imgs[1]).max():.2e})",
     )
+
+    # 3b. sorted SHARDED path on hardware (1-device mesh, local_h=64 so
+    # k_slots=4 survives _shard_tile_params): the per-shard
+    # profile+sort+K-slot machinery must reproduce the single-chip
+    # render. Not bitwise (band finalize order differs); measured
+    # agreement is ~1e-8 (PERF.md round-3 sharded-parity note).
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh, render_image_sharded_pallas,
+    )
+
+    mesh1 = make_mesh((1,), ("rows",))
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 3)
+        img_sh = np.asarray(render_image_sharded_pallas(
+            scene, cam, 256, 64, 10, k7, mesh1, opts8
+        ))
+        img_1c = np.asarray(pk.render_image_pallas(
+            scene, dcam, 256, 64, 10, k7, opts8
+        ))
+    finally:
+        pk._pick_chunk_spp = orig
+    sh_max = float(np.abs(img_sh - img_1c).max())
+    check("sharded-sorted", sh_max < 1e-6, f"(maxdiff {sh_max:.2e})")
 
     # 4. device physics vs the independent jnp tracer (statistical — the
     # functional net for sqrt(negative)/poison-sentinel regressions).

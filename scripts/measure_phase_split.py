@@ -99,7 +99,10 @@ def main():
         opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
         kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
         seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
-        perm, g_full = pk._containable_split(scene, dcam, opts)
+        split = pk._containable_split(scene, dcam, opts)
+        # None when the analysis declines (small scene, split_scan off,
+        # or a failed device probe) -> full-logic scan, no permutation
+        perm, g_full = split if split is not None else (None, None)
         if perm is not None:
             scene_p = jax.tree_util.tree_map(lambda a: a[perm], scene)
         else:

@@ -95,3 +95,22 @@ def test_adaptive_sharded_strips(key):
         TraceOptions(max_depth=3),
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_chunk_override(forced_chunks):
+    # adaptive_chunk_spp overrides the auto half-budget chunk but stays
+    # capped by the watchdog budget (_pick_chunk_spp -> 3 here)
+    img, stats = _render(
+        TraceOptions(max_depth=4, adaptive_tolerance=0.05,
+                     adaptive_chunk_spp=2)
+    )
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert 2.0 <= float(stats["mean_spp"]) < 27.0
+    # capped: asking for more than the budget falls back to the budget
+    img2, stats2 = _render(
+        TraceOptions(max_depth=4, adaptive_tolerance=0.05,
+                     adaptive_chunk_spp=999)
+    )
+    assert np.isfinite(np.asarray(img2)).all()
+    assert float(stats2["mean_spp"]) <= 27.0

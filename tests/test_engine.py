@@ -188,3 +188,23 @@ def test_request_save_with_path(tmp_path):
     assert e.tick(16.0)  # paused but should_save forces the render
     assert os.path.exists(out)
     assert e._save_path is None  # one-shot
+
+
+def test_debug_toggle_resets_accumulation():
+    # the overlay is traced into the frame, so toggling must restart
+    # accumulation (otherwise it blends in at 1/(render_count+1) weight)
+    e = make_engine()
+    e.set_paused(False)
+    e.run(3)
+    assert e.app.render_count == 3
+    e.set_debugging(True)
+    assert e.app.enable_debugging
+    assert int(e.render_state.render_count) == 0
+    assert e.app.render_count == 0
+    assert e.app.should_render
+    e.run(2)
+    n = e.app.render_count
+    e.set_debugging(True)  # no-op: same value must not reset
+    assert e.app.render_count == n
+    e.set_debugging(False)
+    assert e.app.render_count == 0

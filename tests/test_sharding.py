@@ -299,3 +299,23 @@ def test_sharded_progressive_static_scene_split(key):
         sa, _ = step_h(sa, scene, cam, DebugParams.none())
         sb, _ = step_0(sb, scene, cam, DebugParams.none())
     np.testing.assert_array_equal(np.asarray(sa.accum), np.asarray(sb.accum))
+
+
+def test_sharded_pallas_drops_debug(setup, key):
+    """enable_debug is a single-chip interactive feature: the sharded
+    band helpers never populate the cursor/selection uniforms, so the
+    sharded render must drop the flag (identical to debug-off) rather
+    than paint garbage markers."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=4)
+    mesh = make_mesh((4,), ("rows",))
+    off = render_image_sharded_pallas(scene, cam, W, H, 2, key, mesh, opts)
+    on = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, mesh,
+        dataclasses.replace(opts, enable_debug=True),
+    )
+    assert np.array_equal(np.asarray(off), np.asarray(on))
