@@ -17,8 +17,10 @@ companion run is always reported (stderr + rr0_* JSON fields;
 BENCH_SKIP_RR0=1 to skip). BENCH_CONVERGENCE=1 adds a device-side
 full-spp mean-abs-diff check of the Pallas kernel against the
 independent jnp tracer on a 304x200 crop; BENCH_CONVERGENCE=full runs
-the whole frame (~30+ min ground-truth capture). BENCH_ADAPTIVE=TOL
-adds an adaptive-sampling companion line at that tolerance.
+the whole frame (~30+ min ground-truth capture). An adaptive-sampling
+companion line runs by default at tol=0.2 (the BASELINE's "converged
+in <2 s" framing reads off it); BENCH_ADAPTIVE sets the tolerance,
+=0 disables, BENCH_ADAPTIVE_CHUNK overrides the chunk cap.
 """
 
 from __future__ import annotations
@@ -263,14 +265,17 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-        if os.environ.get("BENCH_ADAPTIVE"):
-            # adaptive-sampling companion (never the headline): same
-            # render with per-pixel early termination at the given 95%-CI
-            # tolerance; reports wall, effective mean spp, and measured
-            # mean|Δ| vs this run's fixed-spp image (VERDICT r2 #9)
+        # adaptive-sampling companion (never the headline): same render
+        # with per-pixel early termination at the given 95%-CI tolerance;
+        # reports wall, effective mean spp, and measured mean|Δ| vs this
+        # run's fixed-spp image (VERDICT r2 #9). ON by default at
+        # tol=0.2 — the BASELINE's own "converged in <2 s" framing reads
+        # off this line (measured 1.9 s on the cover scene);
+        # BENCH_ADAPTIVE=0 disables, any other value sets the tolerance.
+        tol = float(os.environ.get("BENCH_ADAPTIVE", "0.2"))
+        if tol > 0.0:
             import dataclasses
 
-            tol = float(os.environ.get("BENCH_ADAPTIVE"))
             opts_a = dataclasses.replace(
                 opts, adaptive_tolerance=tol,
                 adaptive_chunk_spp=int(

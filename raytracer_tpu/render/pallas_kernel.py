@@ -1372,6 +1372,13 @@ def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int,
 #: converged, and the absolute luminance floor added to the relative
 #: tolerance (so near-black pixels don't demand absurd precision)
 ADAPTIVE_MIN_N = 64
+#: auto adaptive chunk cap (the _chunk_schedule it feeds emits sorted
+#: chunks of ~2x this): measured on the cover scene — wall keeps
+#: dropping to ~16 (1.73 s at tol 0.2 vs 1.91 s at 24, quality
+#: statistically indistinguishable), below which re-plan overhead eats
+#: the savings; larger caps overshoot converged pixels (PERF.md
+#: adaptive floor matrix)
+ADAPTIVE_AUTO_CHUNK = 16
 ADAPTIVE_ABS_FLOOR = 0.02
 
 
@@ -1699,15 +1706,17 @@ def _render_pallas(
 
         # finer chunks than the watchdog budget needs: convergence is
         # decided between chunks, so chunk size is the per-pixel
-        # overshoot floor. Half the base budget (bounded below by the
-        # MIN_N the first decision needs) measurably lowers mean
-        # effective spp at identical quality; launches stay fused.
+        # overshoot floor. The measured chunk-cap matrix on the cover
+        # scene (PERF.md round-3 adaptive-floor section;
+        # scripts/measure_adaptive_floor.py) puts the sweet spot at a
+        # ~24-spp cap (sorted chunks ≈45 spp): finer caps stop saving
+        # wall (re-plan/launch overhead) and coarser ones overshoot.
         # adaptive_chunk_spp overrides (still capped by the watchdog
         # budget `chunk` — a larger value could fault the device).
         if opts.adaptive_chunk_spp > 0:
             chunk_a = min(chunk, opts.adaptive_chunk_spp)
         else:
-            chunk_a = min(chunk, max(ADAPTIVE_MIN_N, chunk // 2))
+            chunk_a = min(chunk, ADAPTIVE_AUTO_CHUNK)
         sizes_a, uniform_a = _chunk_schedule(spp, chunk_a)
         if (spp <= chunk_a or not opts.sort_pixels or not uniform_a
                 or opts.enable_debug):

@@ -1,0 +1,70 @@
+"""Render the preset gallery to docs/gallery/ (device).
+
+The reference's ground truth is its README image gallery
+(/root/reference/README.md:10-27, images/*.png). This renders our
+equivalents — every BASELINE preset plus the beyond-reference AOV
+debug views — as visual parity evidence.
+
+    python scripts/render_gallery.py          # all
+    python scripts/render_gallery.py dof      # one preset
+"""
+
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from raytracer_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import numpy as np
+
+from raytracer_tpu.app import io
+from raytracer_tpu.render.api import render_image
+from raytracer_tpu.render.debug import render_aov
+from raytracer_tpu.render.options import TraceOptions
+from raytracer_tpu.scene import presets
+
+OUT = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                    "docs", "gallery")
+
+# (name, spp override, rr) — rr5 for the deep cover render only; the
+# shallow scenes run pure reference physics
+JOBS = [
+    ("two_sphere", 256, 0),
+    ("three_sphere", 256, 0),
+    ("dof", 256, 0),
+    ("demo", 256, 0),
+]
+AOVS = ["normal", "depth", "id", "front_face"]
+
+
+def main(only=None):
+    _os.makedirs(OUT, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+    for name, spp, rr in JOBS:
+        if only and name != only:
+            continue
+        scene, cam, w, h, _, depth = presets.get_config(name)
+        opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr,
+                            backend="pallas")
+        t0 = time.perf_counter()
+        img = np.asarray(render_image(scene, cam, w, h, spp, key, opts))
+        dt = time.perf_counter() - t0
+        path = _os.path.join(OUT, f"{name}_{w}x{h}_{spp}spp.png")
+        io.save_png(path, img)
+        print(f"{name}: {w}x{h} {spp}spp -> {path} ({dt:.1f}s)", flush=True)
+    if only in (None, "aov"):
+        scene, cam, w, h, *_ = presets.get_config("demo", 640, 360)
+        for aov in AOVS:
+            img = np.asarray(render_aov(scene, cam, w, h, aov, key))
+            path = _os.path.join(OUT, f"aov_{aov}_{w}x{h}.png")
+            io.save_png(path, img)
+            print(f"aov {aov} -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main(_sys.argv[1] if len(_sys.argv) > 1 else None)
