@@ -7,7 +7,8 @@ the cover-scene wall/mean-spp/quality across that knob to find the
 "wall-clock to converge" floor (BASELINE's <2 s criterion framing).
 
 Run on device (one TPU process at a time):
-    python scripts/measure_adaptive_floor.py
+    python scripts/measure_adaptive_floor.py          # rr5, full matrix
+    ADAPTIVE_RR=0 ADAPTIVE_CAPS=0,16 python scripts/measure_adaptive_floor.py
 """
 
 import os as _os
@@ -34,8 +35,11 @@ SPP = 500
 
 
 def main():
+    rr = int(_os.environ.get("ADAPTIVE_RR", "5"))
+    caps = tuple(int(c) for c in
+                 _os.environ.get("ADAPTIVE_CAPS", "0,24,20,16").split(","))
     scene, cam, w, h, _, depth = presets.get_config("cover")
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr,
                         backend="pallas")
     key = jax.random.PRNGKey(0)
 
@@ -58,16 +62,15 @@ def main():
         return best, keep[0], keep[1]
 
     tfix, img_fix, _ = timed(opts, key)
-    print(f"fixed 500 spp: {tfix:.2f}s", flush=True)
+    print(f"fixed 500 spp (rr{rr}): {tfix:.2f}s", flush=True)
 
-    for cap in (0, 24, 20, 16):
+    for cap in caps:
         for tol in (0.1, 0.2):
             o = dataclasses.replace(opts, adaptive_tolerance=tol,
                                     adaptive_chunk_spp=cap)
             # report the schedule the knob actually produces
-            chunk = pk._pick_chunk_spp(SPP, w * h, scene.count, depth, 5)
-            ca = (min(chunk, cap) if cap
-                  else min(chunk, max(pk.ADAPTIVE_MIN_N, chunk // 2)))
+            chunk = pk._pick_chunk_spp(SPP, w * h, scene.count, depth, rr)
+            ca = min(chunk, cap) if cap else min(chunk, pk.ADAPTIVE_AUTO_CHUNK)
             sizes, uniform = pk._chunk_schedule(SPP, ca)
             t, img, stats = timed(o, key)
             mad = float(np.abs(img - img_fix).mean())

@@ -39,7 +39,7 @@ JOBS = [
     ("dof", 256, 0),
     ("demo", 256, 0),
 ]
-AOVS = ["normal", "depth", "id", "front_face"]
+AOVS = ["normal", "depth", "uuid", "front"]
 
 
 def main(only=None):
