@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
         "on mean luminance is within TOL (relative); 0 = fixed spp",
     )
     p.add_argument(
+        "--sampler",
+        default="random",
+        choices=("random", "stratified"),
+        help="camera-sample sequencer: 'stratified' uses per-pixel "
+        "low-discrepancy jitter/lens points (same distributions, lower "
+        "variance; progressive sessions walk each pixel's sequence "
+        "across frames — incompatible with --adaptive there)",
+    )
+    p.add_argument(
         "--book-physics",
         action="store_true",
         help="canonical RTiOW physics (black on depth exhaustion + near-zero "
@@ -95,6 +104,7 @@ def main(argv=None) -> int:
         near_zero_guard=args.book_physics,
         russian_roulette_depth=args.russian_roulette,
         adaptive_tolerance=args.adaptive,
+        sampler=args.sampler,
     )
     key = jax.random.PRNGKey(args.seed)
 

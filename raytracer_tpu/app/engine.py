@@ -61,6 +61,7 @@ class Engine:
         enable_debugging: bool = False,
         exhaust_black: bool = False,
         russian_roulette_depth: int = 0,
+        sampler: str = "random",
     ):
         self.scene = scene
         self.camera = camera
@@ -78,6 +79,7 @@ class Engine:
         self.backend = backend
         self.exhaust_black = exhaust_black
         self.russian_roulette_depth = russian_roulette_depth
+        self.sampler = sampler
         self._seed = seed
         self.render_state: RenderState = init_render_state(
             width, height, jax.random.PRNGKey(seed)
@@ -117,6 +119,7 @@ class Engine:
                 exhaust_black=self.exhaust_black,
                 backend=self.backend,
                 russian_roulette_depth=self.russian_roulette_depth,
+                sampler=self.sampler,
             )
             self._step_cache[key] = make_step_fn(
                 self.app.width,

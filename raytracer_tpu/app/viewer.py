@@ -104,10 +104,11 @@ def run_viewer(
     max_frames: int | None = None,
     target_fps: float = 30.0,
     cols: int = 100,
+    sampler: str = "random",
 ):
     scene, cam, *_ = presets.get_config(config, width, height)
     engine = Engine(scene, cam, width, height, spp=1, max_depth=8,
-                    backend=backend)
+                    backend=backend, sampler=sampler)
     engine.set_paused(False)
 
     held: dict = {}
@@ -196,8 +197,14 @@ if __name__ == "__main__":
     )
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument(
+        "--sampler", default="random", choices=("random", "stratified"),
+        help="camera-sample sequencer (stratified = per-pixel "
+        "low-discrepancy accumulation across frames)",
+    )
     a = p.parse_args()
     from raytracer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    run_viewer(a.config, a.width, a.height, a.backend, a.max_frames, cols=a.cols)
+    run_viewer(a.config, a.width, a.height, a.backend, a.max_frames,
+               cols=a.cols, sampler=a.sampler)

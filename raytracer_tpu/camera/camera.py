@@ -152,6 +152,7 @@ def generate_rays(
     width: int,
     height: int,
     jitter: bool = True,
+    uv=None,
 ) -> Ray:
     """Vectorized thin-lens camera ray generation for a batch of st coords.
 
@@ -160,15 +161,25 @@ def generate_rays(
     center, a quirk we preserve) and get_ray_from_camera's lens offset
     (static/shader.frag:342-351). Directions are NOT normalized, matching
     the reference; ``a = |d|²`` is handled in the intersector.
+
+    ``uv``: optional (..., 4) uniforms [jitter_u, jitter_v, lens_u, lens_v]
+    replacing the key-based draws — the stratified-sampler hook
+    (TraceOptions.sampler; the mapping to jitter/disk is identical, so the
+    distributions match the random path draw-for-draw).
     """
     shape = st.shape[:-1]
     kj, kl = jax.random.split(key)
     if jitter:
-        j = sampling.pixel_jitter(kj, shape) / jnp.array(
-            [width, height], dtype=st.dtype
-        )
+        j = (
+            uv[..., 0:2] if uv is not None else sampling.pixel_jitter(kj, shape)
+        ) / jnp.array([width, height], dtype=st.dtype)
         st = st + j
-    rd = dcam.lens_radius * sampling.random_in_unit_disk(kl, shape)  # (..., 2)
+    disk = (
+        sampling.disk_from_uv(uv[..., 2], uv[..., 3])
+        if uv is not None
+        else sampling.random_in_unit_disk(kl, shape)
+    )
+    rd = dcam.lens_radius * disk  # (..., 2)
     offset = rd[..., 0:1] * dcam.u + rd[..., 1:2] * dcam.v
     direction = (
         dcam.lower_left_corner

@@ -89,3 +89,52 @@ def pixel_jitter(key, shape=()):
     """Sub-pixel AA jitter in [0,1)^2, to be scaled by 1/(w,h)
     (static/shader.frag:365-369)."""
     return jax.random.uniform(key, shape + (2,), dtype=jnp.float32)
+
+
+# --- low-discrepancy camera sampling (TraceOptions.sampler='stratified') ----
+#
+# 4-D Kronecker (additive-recurrence) sequence: point_s = frac(cp + s·alpha).
+# The four alphas are TWO independent high-quality 2-D vectors — the R2
+# sequence on the plastic constant (g³ = g + 1) for the sub-pixel jitter
+# pair, and the classic (√2−1, √3−1) vector for the lens-disk pair. A
+# single 4-D generalized-R2 vector (g⁵ = g + 1) was measured first and
+# REJECTED: its (lens) pair projection has disk-integration error WORSE
+# than random and non-converging (min pairwise distance 0.0085 at 32 pts);
+# the two-pair construction keeps both 2-D projections near-optimal while
+# the joint 4-D error still beats random ~1.5× (probe in /tmp, numbers in
+# PERF.md). Each pixel gets an independent Cranley-Patterson rotation
+# ``cp`` (a uniform random 4-vector), so across pixels the samples stay
+# uncorrelated while within a pixel the (jitter_u, jitter_v, lens_u,
+# lens_v) quadruples are a progressive low-discrepancy set — every prefix
+# is well spread, which is exactly what chunked/adaptive renders consume.
+# The per-draw marginals are uniform [0,1), so every estimator stays
+# unbiased and the physics (and its quirks) are untouched; only the
+# variance drops. Beyond the reference (whose RNG is a time-seeded hash
+# chain, static/shader.frag:11-36).
+
+_R2_G2 = 1.3247179572447460  # plastic constant: real root of g^3 = g + 1
+R2_ALPHAS_4D = (
+    1.0 / _R2_G2,  # jitter_u
+    1.0 / _R2_G2 ** 2,  # jitter_v
+    math.sqrt(2.0) - 1.0,  # lens_u
+    math.sqrt(3.0) - 1.0,  # lens_v
+)
+
+
+def r2_point(cp, s):
+    """The s-th 4-D R2 point under rotation ``cp``: frac(cp + s·alpha).
+
+    ``cp``: (..., 4) uniform rotations; ``s``: scalar or broadcastable
+    sample index (int or f32-exact). Returns (..., 4) in [0,1)."""
+    alphas = jnp.asarray(R2_ALPHAS_4D, dtype=jnp.float32)
+    x = cp + jnp.asarray(s, jnp.float32)[..., None] * alphas
+    return x - jnp.floor(x)
+
+
+def disk_from_uv(u, v):
+    """Map uniform (u, v) to the unit disk with the reference's sqrt-radius
+    polar transform (static/shader.frag:123-129) — same map the random
+    sampler uses, so distributions match."""
+    a = u * (2.0 * math.pi)
+    r = jnp.sqrt(v)
+    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a)], axis=-1)

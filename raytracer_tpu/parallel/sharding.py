@@ -25,6 +25,7 @@ from raytracer_tpu.progressive.step import (
     accumulate,
 )
 from raytracer_tpu.render.options import DebugParams, TraceOptions
+from raytracer_tpu.core import sampling
 from raytracer_tpu.render.tracer import render_sample
 from raytracer_tpu.scene.spheres import Scene
 
@@ -55,9 +56,14 @@ def _render_shard(
     opts: TraceOptions,
     debug: DebugParams,
     spp_axis: str | None,
+    sample_offset=0,
 ):
     """Per-device body: trace this row block at spp_local samples, mean over
-    the spp mesh axis in linear space, then gamma."""
+    the spp mesh axis in linear space, then gamma.
+
+    ``sample_offset`` (static int or traced i32) shifts the per-shard
+    sample indices — the stratified progressive step passes frame·spp_local
+    so each shard walks its pixels' R2 prefixes in order across frames."""
     rows_local = st_block.shape[0]
     st = st_block.reshape(-1, 2)
     # distinct stream per (row-shard, spp-shard)
@@ -65,11 +71,23 @@ def _render_shard(
     if spp_axis is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(spp_axis))
 
+    if opts.sampler == "stratified":
+        # per-pixel Cranley-Patterson rotation, per shard (the spp axis, if
+        # sharded, contributes independently-rotated LDS prefixes — still
+        # unbiased and stratified within each shard; see render_image_jnp)
+        cp = jax.random.uniform(
+            jax.random.fold_in(key, 0x52D2), (st.shape[0], 4), jnp.float32
+        )
+    else:
+        cp = None
+
     def body(s, carry):
         acc, segments = carry
-        skey = jax.random.fold_in(key, s)
+        s_abs = sample_offset + s
+        skey = jax.random.fold_in(key, s_abs)
+        uv = sampling.r2_point(cp, s_abs) if cp is not None else None
         color, seg = render_sample(
-            scene, dcam, st, skey, width, height, opts, debug
+            scene, dcam, st, skey, width, height, opts, debug, uv=uv
         )
         return acc + color, segments + seg
 
@@ -401,8 +419,16 @@ def make_sharded_step_fn(
 
     st_full = pixel_st_grid(width, height)
 
+    stratified = opts.sampler == "stratified"
+
     def shard_body(accum_block, st_block, frame, key, scene, dcam, debug):
-        frame_key = jax.random.fold_in(key, frame[0])
+        if stratified:
+            # fixed per-session stream; frames advance each shard's
+            # absolute sample index so every pixel consumes its R2
+            # prefix in order (see progressive/step.py)
+            frame_key, s_off = key, frame[0] * (spp // spp_size)
+        else:
+            frame_key, s_off = jax.random.fold_in(key, frame[0]), 0
         color, segments = _render_shard(
             scene,
             dcam,
@@ -414,6 +440,7 @@ def make_sharded_step_fn(
             opts,
             debug,
             spp_axis,
+            sample_offset=s_off,
         )
         return color, segments
 
@@ -510,15 +537,24 @@ def _make_sharded_step_fn_pallas(
         if split is not None:
             perm, g_full = split
 
+    stratified = opts.sampler == "stratified"
+
     def shard_body(frame, key, scene, dcam):
         if perm is not None:
             # static index permutation of the traced scene (containable
             # spheres first) — value-neutral reordering
             scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
-        frame_key = jax.random.fold_in(key, frame[0])
+        if stratified:
+            # fixed per-session seed; frames shift the global sample range
+            # by spp so the session decomposes exactly like one offline
+            # render (each pixel's R2 prefix consumed in order — see
+            # progressive/step.py)
+            frame_key, frame_base = key, frame[0] * spp
+        else:
+            frame_key, frame_base = jax.random.fold_in(key, frame[0]), 0
         kd = jax.random.key_data(frame_key).astype(jnp.uint32)
         seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
-        samp0 = (
+        samp0 = frame_base + (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
         acc = _pallas_band_chunks(

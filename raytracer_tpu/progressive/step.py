@@ -98,6 +98,14 @@ def make_step_fn(
         if split is not None:
             perm, g_full = split
 
+    if opts.sampler == "stratified" and opts.adaptive_tolerance > 0.0:
+        # adaptive frames stop pixels at different sample counts, so a
+        # uniform frame·spp base offset cannot describe where each pixel's
+        # R2 prefix resumes — fall back to the random sampler (the
+        # options.py sampler note documents this)
+        opts = dataclasses.replace(opts, sampler="random")
+    stratified = opts.sampler == "stratified"
+
     def step(
         state: RenderState,
         scene: Scene,
@@ -105,13 +113,25 @@ def make_step_fn(
         debug: DebugParams,
     ):
         dcam = derive_camera(camera)
-        frame_key = jax.random.fold_in(state.key, state.frame)
+        if stratified:
+            # stratified accumulation: ONE RNG stream for the whole session,
+            # frames advance the absolute sample index — frame i is exactly
+            # the offline render's spp-chunk [i·spp, (i+1)·spp), so the
+            # accumulated session consumes each pixel's R2 sequence in
+            # order (every prefix low-discrepancy). sample_offset is a
+            # traced SMEM scalar, so this never recompiles per frame.
+            frame_key = state.key
+            s_off = state.frame * spp
+        else:
+            frame_key = jax.random.fold_in(state.key, state.frame)
+            s_off = 0
         if opts.backend == "pallas":
             from raytracer_tpu.render.pallas_kernel import render_image_pallas
 
             color, stats = render_image_pallas(
                 scene, dcam, width, height, spp, frame_key, opts, debug,
                 return_stats=True,
+                sample_offset=s_off,
                 static_split=(
                     (perm, g_full) if g_full is not None else None
                 ),
@@ -120,6 +140,7 @@ def make_step_fn(
             color, stats = render_image_jnp(
                 scene, dcam, width, height, spp, frame_key, opts, debug,
                 return_stats=True,
+                sample_offset=s_off,
             )
         render_count = jnp.minimum(state.render_count + 1, max_render_count)
         if should_average:

@@ -65,6 +65,21 @@ class TraceOptions:
     #: the MIN_N floor / per-chunk overhead dominates (measured matrix
     #: in PERF.md).
     adaptive_chunk_spp: int = 0
+    #: camera-sample sequencer: 'random' (independent uniform draws — the
+    #: parity/benchmark default) or 'stratified' (per-pixel 4-D R2
+    #: low-discrepancy points for the sub-pixel jitter + lens-disk draws,
+    #: with a random Cranley-Patterson rotation per pixel —
+    #: core/sampling.py). Marginal distributions are identical, so the
+    #: estimator stays unbiased and the physics is untouched; the joint
+    #: spread across a pixel's samples is what improves, cutting AA/DoF
+    #: variance. Progressive steps hold the session key fixed and advance
+    #: the absolute sample index by spp per frame, so an accumulation
+    #: session walks each pixel's R2 sequence in order (every prefix
+    #: low-discrepancy) — except adaptive progressive, which strips
+    #: stratification (per-pixel stop counts cannot resume from a uniform
+    #: offset). Bounce-path draws stay random either way. Beyond the
+    #: reference.
+    sampler: str = "random"
     #: static scene analysis for the Pallas scan: spheres that provably
     #: cannot contain a ray origin (not glass, no other sphere's surface
     #: inside them, camera outside) skip the far-root fallback of the
@@ -79,6 +94,11 @@ class TraceOptions:
             # counter layout (bounce draws would alias the next sample's
             # camera block) and diverge from the jnp tracer's flat-white
             raise ValueError(f"max_depth must be >= 1, got {self.max_depth}")
+        if self.sampler not in ("random", "stratified"):
+            raise ValueError(
+                f"sampler must be 'random' or 'stratified', got "
+                f"{self.sampler!r}"
+            )
 
 
 @flax.struct.dataclass

@@ -58,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.camera.camera import DerivedCamera
+from raytracer_tpu.core.sampling import R2_ALPHAS_4D
 from raytracer_tpu.render.options import MAX_T, MIN_T, TraceOptions
 from raytracer_tpu.scene.spheres import Scene
 
@@ -271,19 +272,41 @@ def _make_kernel(
             )
             return px, py, pix, in_img
 
+        stratified = opts.sampler == "stratified"
+
         def gen_ray(s_f, px, py, pix):
             """Camera ray for per-lane sample index ``s_f`` (f32, exact int).
 
             Identical math and RNG counters to the per-sample generation of
             the pre-regeneration kernel: draws 0-3 of the sample's counter
-            block (shader.frag:342-351, 365-369)."""
-            ctr0 = (
-                (sample_offset + s_f.astype(jnp.int32)) * draws_per_sample
-            )
-            st_s = (px + 0.5 + _u01(pix, ctr0, 0)) * inv_w
-            st_t = (py + 0.5 + _u01(pix, ctr0, 1)) * inv_h
-            ang = _u01(pix, ctr0, 2) * TWO_PI
-            rad = lens_radius * jnp.sqrt(_u01(pix, ctr0, 3))
+            block (shader.frag:342-351, 365-369). With the stratified
+            sampler those four camera draws are instead the (sample_offset
+            + s)-th 4-D R2 point under a per-pixel Cranley-Patterson
+            rotation (core/sampling.py): rotation counters -4..-1 are
+            disjoint from every per-sample counter block (all >= 0), and
+            bounce draws stay counter-hashed either way."""
+            s_i = sample_offset + s_f.astype(jnp.int32)
+            ctr0 = s_i * draws_per_sample
+            if stratified:
+                rot = jnp.uint32(0xFFFFFFFC)  # ctr -4: cp draws at -4..-1
+                s_abs = s_i.astype(jnp.float32)
+
+                def r2(d):
+                    x = _u01(pix, rot, d) + s_abs * jnp.float32(
+                        R2_ALPHAS_4D[d]
+                    )
+                    return x - jnp.floor(x)
+
+                u0, u1, u2, u3 = r2(0), r2(1), r2(2), r2(3)
+            else:
+                u0 = _u01(pix, ctr0, 0)
+                u1 = _u01(pix, ctr0, 1)
+                u2 = _u01(pix, ctr0, 2)
+                u3 = _u01(pix, ctr0, 3)
+            st_s = (px + 0.5 + u0) * inv_w
+            st_t = (py + 0.5 + u1) * inv_h
+            ang = u2 * TWO_PI
+            rad = lens_radius * jnp.sqrt(u3)
             rdx = rad * jnp.cos(ang)
             rdy = rad * jnp.sin(ang)
             offx = ux * rdx + vvx * rdy
@@ -1671,9 +1694,15 @@ def _render_pallas(
     k_slots: int,
     debug=None,
     static_split=None,
+    sample_offset=0,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
+    # base sample offset (static int or traced i32): shifts every chunk's
+    # absolute sample indices — the stratified progressive step advances
+    # it by spp per frame so a session walks each pixel's R2 sequence in
+    # order (progressive/step.py)
+    base_off = sample_offset
 
     # static far-root analysis (concrete scenes only): permute containable
     # spheres to the front so the scan's near-only suffix is one aligned
@@ -1703,6 +1732,16 @@ def _render_pallas(
     )
     if opts.adaptive_tolerance > 0.0:
         import dataclasses
+
+        if not (isinstance(base_off, int) and base_off == 0):
+            # adaptive renders stop pixels at DIFFERENT sample counts, so
+            # a uniform base offset cannot describe where a later render
+            # would resume — the stratified progressive step strips
+            # adaptive_tolerance instead of passing an offset here
+            raise ValueError(
+                "adaptive_tolerance requires sample_offset == 0 "
+                "(per-pixel stop counts cannot resume from a uniform base)"
+            )
 
         # finer chunks than the watchdog budget needs: convergence is
         # decided between chunks, so chunk size is the per-pixel
@@ -1757,8 +1796,9 @@ def _render_pallas(
             # unsorted renders accumulate per-pixel sums in identical
             # order — bitwise-equal images
             out = _render_chunk(
-                scene, dcam, seed, offset, width, height, cs, opts, r_sub,
-                interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+                scene, dcam, seed, base_off + offset, width, height, cs,
+                opts, r_sub, interpret, k_slots=k_slots, g_full=g_full,
+                debug=debug,
             )
             acc = out if acc is None else acc + out
             offset += cs
@@ -1777,22 +1817,23 @@ def _render_pallas(
     # identical to the unsorted render.
     acc, segments, inv, pixel_map = _render_chunk_profiled(
         scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
-        k_slots, g_full, debug=debug,
+        k_slots, g_full, debug=debug, sample_offset=base_off,
     )
     if uniform:
         # whole sorted run = ONE device program (see _render_chunks_scan)
         acc, segments = _render_chunks_scan(
-            scene, dcam, seed, jnp.int32(chunk0), acc, segments, inv,
-            pixel_map, width, height, sizes[1], len(sizes) - 1, opts,
+            scene, dcam, seed, jnp.int32(chunk0) + base_off, acc, segments,
+            inv, pixel_map, width, height, sizes[1], len(sizes) - 1, opts,
             r_sub, interpret, k_slots, g_full, debug=debug,
         )
     else:
         offset = chunk0
         for cs in sizes[1:]:
             acc, segments, inv, pixel_map = _render_chunk_sorted(
-                scene, dcam, seed, offset, acc, segments, inv, pixel_map,
-                width, height, cs, opts, r_sub, interpret, k_slots,
-                plan_next=offset + cs < spp, g_full=g_full, debug=debug,
+                scene, dcam, seed, base_off + offset, acc, segments, inv,
+                pixel_map, width, height, cs, opts, r_sub, interpret,
+                k_slots, plan_next=offset + cs < spp, g_full=g_full,
+                debug=debug,
             )
             offset += cs
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
@@ -1815,8 +1856,13 @@ def render_image_pallas(
     r_sub: int = DEFAULT_R_SUB,
     k_slots: int = 4,
     static_split=None,
+    sample_offset=0,
 ):
     """Pallas megakernel render.
+
+    ``sample_offset`` (static int or traced i32) shifts every sample's
+    absolute index — the stratified progressive step passes frame·spp so
+    an accumulation session decomposes exactly like one offline render.
 
     ``opts.enable_debug`` runs the cursor-marker / selection-outline
     overlay IN the kernel (shader.frag:306-318 — two masked selects in
@@ -1840,4 +1886,5 @@ def render_image_pallas(
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
         interpret, k_slots, debug=debug, static_split=static_split,
+        sample_offset=sample_offset,
     )

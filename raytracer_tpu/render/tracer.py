@@ -277,9 +277,12 @@ def render_sample(
     height: int,
     opts: TraceOptions,
     debug: DebugParams | None = None,
+    uv=None,
 ):
-    """One jittered 1-spp pass: ray-gen + trace. Returns ((P,3), segments)."""
-    ray = generate_rays(dcam, st_flat, sample_key, width, height)
+    """One jittered 1-spp pass: ray-gen + trace. Returns ((P,3), segments).
+
+    ``uv``: optional (P, 4) stratified camera uniforms (see generate_rays)."""
+    ray = generate_rays(dcam, st_flat, sample_key, width, height, uv=uv)
     return trace_rays(ray.origin, ray.direction, scene, sample_key, opts, debug)
 
 
@@ -325,11 +328,22 @@ def render_image_jnp(
     st = st.reshape(-1, 2)
     p = st.shape[0]
 
+    if opts.sampler == "stratified":
+        # one Cranley-Patterson rotation per pixel, constant across the
+        # render (and across spp chunks — it is keyed off ``key`` alone,
+        # which the api layer holds fixed while varying sample_offset)
+        cp = jax.random.uniform(
+            jax.random.fold_in(key, 0x52D2), (p, 4), dtype=jnp.float32
+        )
+    else:
+        cp = None
+
     def body(s, carry):
         acc, segments = carry
         skey = jax.random.fold_in(key, sample_offset + s)
+        uv = sampling.r2_point(cp, sample_offset + s) if cp is not None else None
         color, seg = render_sample(
-            scene, dcam, st, skey, width, height, opts, debug
+            scene, dcam, st, skey, width, height, opts, debug, uv=uv
         )
         return acc + color, segments + seg
 

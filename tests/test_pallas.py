@@ -447,3 +447,24 @@ def test_high_spp_parity_tight():
         scene, dcam, 64, 32, 96, jax.random.PRNGKey(0), opts
     ))
     assert np.abs(p - j).mean() < 0.012
+
+
+def test_stratified_matches_jnp_and_chunk_invariant(monkeypatch):
+    """TraceOptions.sampler='stratified' on the Pallas kernel: statistical
+    parity with the jnp tracer's stratified path (independent CP-rotation
+    streams, so equality is to noise level), and bitwise-stable under spp
+    chunking — the R2 index is the ABSOLUTE sample number and the rotation
+    counters (-4..-1) are chunk-independent."""
+    scene, cam, *_ = presets.get_config("demo", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    opts = TraceOptions(max_depth=6, sampler="stratified")
+    img_p = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 8, key, opts))
+    img_j = np.asarray(render_image_jnp(scene, dcam, W, H, 8, key, opts))
+    assert np.abs(img_p - img_j).mean() < 0.03
+
+    o4 = TraceOptions(max_depth=4, sampler="stratified")
+    whole = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 8, key, o4))
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a: 3)
+    split = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 8, key, o4))
+    np.testing.assert_allclose(whole, split, rtol=1e-5, atol=1e-6)

@@ -175,3 +175,82 @@ def test_step_fn_static_split_hints(key):
         sa, _ = step_h(sa, scene, cam, DebugParams.none())
         sb, _ = step_0(sb, scene, cam, DebugParams.none())
     np.testing.assert_array_equal(np.asarray(sa.accum), np.asarray(sb.accum))
+
+
+def test_stratified_frames_decompose_like_offline(key):
+    """Stratified progressive: frame i is the offline render's spp-chunk
+    [i·spp, (i+1)·spp) — fixed session key, advancing sample_offset
+    (should_average=False exposes raw frames). Equal to jit-fusion
+    rounding (the step jits the whole pipeline; the offline call runs
+    eagerly — ~1-ULP differences on a few percent of pixels)."""
+    scene, cam = setup()
+    opts = TraceOptions(max_depth=4, sampler="stratified")
+    step = make_step_fn(W, H, spp=2, opts=opts, should_average=False)
+    state = init_render_state(W, H, key)
+    dcam = derive_camera(cam)
+    for i in range(3):
+        state, _ = step(state, scene, cam, DebugParams.none())
+        offline = render_image_jnp(
+            scene, dcam, W, H, 2, key, opts, sample_offset=i * 2
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.accum), np.asarray(offline),
+            rtol=0, atol=5e-7, err_msg=f"frame {i}",
+        )
+
+
+def test_stratified_pallas_frames_decompose_like_offline(key):
+    """Same decomposition through the Pallas kernel (interpret mode)."""
+    from raytracer_tpu.render.pallas_kernel import render_image_pallas
+
+    scene, cam = setup()
+    opts = TraceOptions(max_depth=4, sampler="stratified", backend="pallas")
+    step = make_step_fn(W, H, spp=2, opts=opts, should_average=False,
+                        static_scene=scene, static_camera=cam)
+    state = init_render_state(W, H, key)
+    dcam = derive_camera(cam)
+    for i in range(2):
+        state, _ = step(state, scene, cam, DebugParams.none())
+        offline = render_image_pallas(
+            scene, dcam, W, H, 2, key, opts, sample_offset=i * 2
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.accum), np.asarray(offline), err_msg=f"frame {i}"
+        )
+
+
+def test_stratified_frames_distinct_and_converge(key):
+    """Frames draw DIFFERENT samples (the offset advances) and the
+    accumulated session converges to the offline render like the random
+    sampler does."""
+    scene, cam = setup()
+    opts = TraceOptions(max_depth=6, sampler="stratified")
+    step = make_step_fn(W, H, spp=1, opts=opts)
+    state = init_render_state(W, H, key)
+    state, _ = step(state, scene, cam, DebugParams.none())
+    f0 = np.asarray(state.accum).copy()
+    state, _ = step(state, scene, cam, DebugParams.none())
+    assert not np.array_equal(f0, np.asarray(state.accum))
+    state, _ = run_frames(step, state, scene, cam, 62)
+    offline = render_image_jnp(
+        scene, derive_camera(cam), W, H, 64, key,
+        TraceOptions(max_depth=6),
+    )
+    diff = np.abs(np.asarray(state.accum) - np.asarray(offline)).mean()
+    assert diff < 0.02, diff
+
+
+def test_stratified_adaptive_falls_back_to_random(key):
+    """adaptive_tolerance + stratified: the step must strip the sampler
+    (uniform base offsets cannot resume per-pixel adaptive stop counts)
+    and behave exactly like the random-sampler step."""
+    scene, cam = setup()
+    o_strat = TraceOptions(max_depth=4, sampler="stratified",
+                           adaptive_tolerance=0.05)
+    o_rand = TraceOptions(max_depth=4, sampler="random",
+                          adaptive_tolerance=0.05)
+    s1 = make_step_fn(W, H, spp=2, opts=o_strat)
+    s2 = make_step_fn(W, H, spp=2, opts=o_rand)
+    a, _ = run_frames(s1, init_render_state(W, H, key), scene, cam, 2)
+    b, _ = run_frames(s2, init_render_state(W, H, key), scene, cam, 2)
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))

@@ -76,3 +76,55 @@ def test_unit_vector_guards_zero_norm():
     # and a large batch of real draws is finite end to end
     v = sampling.random_unit_vector(jax.random.PRNGKey(123), (1 << 20,))
     assert bool(jnp.isfinite(v).all())
+
+
+# --- stratified (R2 low-discrepancy) camera sampler --------------------------
+
+
+def test_r2_point_range_and_rotation(key):
+    cp = jax.random.uniform(key, (64, 4), jnp.float32)
+    for s in (0, 1, 7, 499):
+        p = np.asarray(sampling.r2_point(cp, s))
+        assert p.shape == (64, 4)
+        assert (p >= 0).all() and (p < 1).all()
+    # s=0 is the rotation itself
+    np.testing.assert_allclose(
+        np.asarray(sampling.r2_point(cp, 0)), np.asarray(cp), atol=1e-6
+    )
+
+
+def test_r2_prefix_stratification():
+    """Every prefix of the per-pixel sequence must out-spread random points:
+    the 2-D jitter projection's min pairwise distance beats random's (that
+    is the whole point of the additive recurrence)."""
+    cp = jnp.zeros((4,), jnp.float32)
+    n = 32
+    pts = np.asarray(
+        jnp.stack([sampling.r2_point(cp, s) for s in range(n)])
+    )
+
+    def min_pair_dist(xy):
+        d = np.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
+        return d[~np.eye(n, dtype=bool)].min()
+
+    rng = np.random.default_rng(0)
+    rand_mpd = np.median(
+        [min_pair_dist(rng.random((n, 2))) for _ in range(16)]
+    )
+    assert min_pair_dist(pts[:, 0:2]) > 2.0 * rand_mpd  # jitter pair
+    assert min_pair_dist(pts[:, 2:4]) > 2.0 * rand_mpd  # lens pair
+
+
+def test_disk_from_uv_matches_reference_map(key):
+    """disk_from_uv is the same sqrt-radius polar map the random sampler's
+    distribution realizes: area-uniform on the unit disk."""
+    u, v = jax.random.uniform(key, (2, N), jnp.float32)
+    d = np.asarray(sampling.disk_from_uv(u, v))
+    r2 = (d**2).sum(axis=-1)
+    assert (r2 <= 1.0 + 1e-5).all()
+    np.testing.assert_allclose(r2, np.asarray(v), atol=1e-5)  # r = sqrt(v)
+    hist, _ = np.histogram(r2, bins=10, range=(0, 1))
+    assert hist.min() > N / 10 * 0.85
+    ang = np.arctan2(d[:, 1], d[:, 0])
+    hist, _ = np.histogram(ang, bins=8, range=(-np.pi, np.pi))
+    assert hist.min() > N / 8 * 0.85

