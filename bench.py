@@ -21,6 +21,9 @@ the whole frame (~30+ min ground-truth capture). An adaptive-sampling
 companion line runs by default at tol=0.2 (the BASELINE's "converged
 in <2 s" framing reads off it); BENCH_ADAPTIVE sets the tolerance,
 =0 disables, BENCH_ADAPTIVE_CHUNK overrides the chunk cap.
+BENCH_SAMPLER=stratified switches the camera draws to the R2
+low-discrepancy sampler (same wall, lower variance; default random so
+the headline stays comparable across rounds).
 """
 
 from __future__ import annotations
@@ -194,8 +197,11 @@ def main() -> int:
         # converges to the same image (measured mean |Δ| < 1e-4 at 100 spp)
         # while cutting the deep-tail stalls that dominate depth-50 renders
         rr = int(os.environ.get("BENCH_RR", "5"))
+        # BENCH_SAMPLER=stratified: R2 camera sampling (same wall, lower
+        # variance — PERF.md). Default random for headline comparability.
         opts = TraceOptions(
-            max_depth=depth, backend=backend, russian_roulette_depth=rr
+            max_depth=depth, backend=backend, russian_roulette_depth=rr,
+            sampler=os.environ.get("BENCH_SAMPLER", "random"),
         )
         key = jax.random.PRNGKey(0)
 

@@ -116,17 +116,24 @@ def schlick(cosine, refraction_ratio):
     return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
 
 
-def scatter(direction, rec: HitRecord, key, opts: TraceOptions):
+def scatter(direction, rec: HitRecord, key, opts: TraceOptions,
+            uniforms=None):
     """Branch-free material evaluation (shader.frag:210-286).
 
     All three materials are computed for every lane and selected by
     material type — the TPU answer to the GLSL if-chain. Returns
     (did_scatter (P,), attenuation (P,3), new_direction (P,3)).
-    """
+
+    ``uniforms``: optional (unit_vec_draw (P,3), unit_sphere_draw (P,3),
+    glass_u (P,)) replacing the key-based draws — the stratified
+    first-bounce hook (distributions must match the samplers above)."""
     shape = rec.t.shape
-    unit_vec_draw, unit_sphere_draw, glass_u = sampling.sphere_disk_glass_uniforms(
-        key, shape
-    )
+    if uniforms is not None:
+        unit_vec_draw, unit_sphere_draw, glass_u = uniforms
+    else:
+        unit_vec_draw, unit_sphere_draw, glass_u = (
+            sampling.sphere_disk_glass_uniforms(key, shape)
+        )
 
     # DIFFUSE (shader.frag:212-229): normal + random unit vector.
     diffuse_dir = rec.normal + unit_vec_draw

@@ -161,6 +161,33 @@ def main() -> int:
     check("pallas-vs-jnp", mad < 0.025 and n_nan < 50,
           f"(mean|d| {mad:.4f}, nan px {n_nan})")
 
+    # 5. stratified-sampler canary: the R2 camera draws are in-kernel
+    # floor/frac arithmetic on absolute sample indices — verify on
+    # hardware that (a) splitting spp across launches is bitwise-neutral
+    # (the index is absolute; the CP-rotation counters -4..-1 are
+    # chunk-independent) and (b) the stratified image agrees with the
+    # random-sampler image statistically (same marginal distributions;
+    # catches wrong-distribution regressions of the frac/floor class).
+    opts_s = dataclasses.replace(opts32, sampler="stratified")
+    img_s = np.asarray(pk.render_image_pallas(
+        scene, dcam, 256, 64, 32, k7, opts_s
+    ))
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 13)
+        img_s_split = np.asarray(pk.render_image_pallas(
+            scene, dcam, 256, 64, 32, k7, opts_s
+        ))
+    finally:
+        pk._pick_chunk_spp = orig
+    chunk_max = float(np.abs(img_s - img_s_split).max())
+    mad_s = float(np.nanmean(np.abs(img_s - imgp)))
+    check(
+        "stratified",
+        chunk_max < 1e-6 and mad_s < 0.025,
+        f"(chunk maxdiff {chunk_max:.2e}, mean|d| vs random {mad_s:.4f})",
+    )
+
     if FAILURES:
         print(f"[device-check] FAILED: {', '.join(FAILURES)}")
         return 1
