@@ -119,15 +119,26 @@ R2_ALPHAS_4D = (
     math.sqrt(2.0) - 1.0,  # lens_u
     math.sqrt(3.0) - 1.0,  # lens_v
 )
+#: first-bounce stratification dims (independent rotations, so reusing
+#: the near-optimal plastic pair is sound): diffuse unit-vector (hx, phi)
+#: pair + the glass Schlick-roulette roll (1-D golden ratio — the optimal
+#: 1-D additive recurrence). Measured 1.6-1.8x MSE cut on the demo scene
+#: beyond camera-only stratification (PERF.md).
+R2_ALPHAS_B0 = (
+    1.0 / _R2_G2,  # diffuse hx
+    1.0 / _R2_G2 ** 2,  # diffuse phi
+    (math.sqrt(5.0) - 1.0) / 2.0,  # glass roll
+)
 
 
-def r2_point(cp, s):
-    """The s-th 4-D R2 point under rotation ``cp``: frac(cp + s·alpha).
+def r2_point(cp, s, alphas=R2_ALPHAS_4D):
+    """The s-th Kronecker point under rotation ``cp``: frac(cp + s·alpha).
 
-    ``cp``: (..., 4) uniform rotations; ``s``: scalar or broadcastable
-    sample index (int or f32-exact). Returns (..., 4) in [0,1)."""
-    alphas = jnp.asarray(R2_ALPHAS_4D, dtype=jnp.float32)
-    x = cp + jnp.asarray(s, jnp.float32)[..., None] * alphas
+    ``cp``: (..., len(alphas)) uniform rotations; ``s``: scalar or
+    broadcastable sample index (int or f32-exact). Returns values in
+    [0,1) with uniform marginals."""
+    a = jnp.asarray(alphas, dtype=jnp.float32)
+    x = cp + jnp.asarray(s, jnp.float32)[..., None] * a
     return x - jnp.floor(x)
 
 
@@ -138,3 +149,17 @@ def disk_from_uv(u, v):
     a = u * (2.0 * math.pi)
     r = jnp.sqrt(v)
     return jnp.stack([r * jnp.cos(a), r * jnp.sin(a)], axis=-1)
+
+
+def unit_vector_from_uv(u, v):
+    """Uniform unit vector from two uniforms via the Archimedes cylinder
+    map: hx = 2u−1, phi = 2πv, p = (s·sinφ, s·cosφ, hx), s = √(1−hx²).
+
+    Same distribution as ``random_unit_vector`` — that one normalizes a
+    volume-uniform sphere point whose radius cancels, leaving exactly
+    this (hx, phi) law (static/shader.frag:114-121, 131-133). Used by the
+    stratified first-bounce diffuse draw."""
+    hx = u * 2.0 - 1.0
+    phi = v * (2.0 * math.pi)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - hx * hx))
+    return jnp.stack([s * jnp.sin(phi), s * jnp.cos(phi), hx], axis=-1)

@@ -78,16 +78,24 @@ def _render_shard(
         cp = jax.random.uniform(
             jax.random.fold_in(key, 0x52D2), (st.shape[0], 4), jnp.float32
         )
+        cp_b0 = jax.random.uniform(
+            jax.random.fold_in(key, 0xB0C), (st.shape[0], 3), jnp.float32
+        )
     else:
-        cp = None
+        cp = cp_b0 = None
 
     def body(s, carry):
         acc, segments = carry
         s_abs = sample_offset + s
         skey = jax.random.fold_in(key, s_abs)
         uv = sampling.r2_point(cp, s_abs) if cp is not None else None
+        uv_b0 = (
+            sampling.r2_point(cp_b0, s_abs, sampling.R2_ALPHAS_B0)
+            if cp_b0 is not None else None
+        )
         color, seg = render_sample(
-            scene, dcam, st, skey, width, height, opts, debug, uv=uv
+            scene, dcam, st, skey, width, height, opts, debug, uv=uv,
+            uv_b0=uv_b0,
         )
         return acc + color, segments + seg
 

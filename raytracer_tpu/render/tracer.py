@@ -200,12 +200,16 @@ def trace_rays(
     key,
     opts: TraceOptions,
     debug: DebugParams | None = None,
+    uv_b0=None,
 ):
     """The bounce loop (shader.frag:297-339) over a flat ray batch.
 
     Returns (color (P,3) linear, segments () f32) where ``segments`` counts
     live ray-bounce iterations — the "rays" of the Mrays/s metric.
-    """
+
+    ``uv_b0``: optional (P, 3) stratified uniforms for the FIRST bounce —
+    [diffuse hx, diffuse phi, glass roll] (the stratified sampler's
+    bounce-0 dims; deeper bounces always draw from the key)."""
     p = origin.shape[0]
     dbg = debug if debug is not None else DebugParams.none()
 
@@ -243,7 +247,22 @@ def trace_rays(
             )
             live_hit = live_hit & ~outline
 
-        did_scatter, attenuation, new_dir = scatter(d, rec, bkey, opts)
+        if uv_b0 is None:
+            did_scatter, attenuation, new_dir = scatter(d, rec, bkey, opts)
+        else:
+            uvd, usd, gu = sampling.sphere_disk_glass_uniforms(
+                bkey, rec.t.shape
+            )
+            first = i == 0
+            uvd = jnp.where(
+                first,
+                sampling.unit_vector_from_uv(uv_b0[..., 0], uv_b0[..., 1]),
+                uvd,
+            )
+            gu = jnp.where(first, uv_b0[..., 2], gu)
+            did_scatter, attenuation, new_dir = scatter(
+                d, rec, bkey, opts, uniforms=(uvd, usd, gu)
+            )
         scat = live_hit & did_scatter
         # Absorbed rays contribute black (shader.frag:328) — result already 0.
         color = jnp.where(scat[..., None], color * attenuation, color)
@@ -285,12 +304,16 @@ def render_sample(
     opts: TraceOptions,
     debug: DebugParams | None = None,
     uv=None,
+    uv_b0=None,
 ):
     """One jittered 1-spp pass: ray-gen + trace. Returns ((P,3), segments).
 
-    ``uv``: optional (P, 4) stratified camera uniforms (see generate_rays)."""
+    ``uv``: optional (P, 4) stratified camera uniforms (see generate_rays);
+    ``uv_b0``: optional (P, 3) stratified first-bounce uniforms (see
+    trace_rays)."""
     ray = generate_rays(dcam, st_flat, sample_key, width, height, uv=uv)
-    return trace_rays(ray.origin, ray.direction, scene, sample_key, opts, debug)
+    return trace_rays(ray.origin, ray.direction, scene, sample_key, opts,
+                      debug, uv_b0=uv_b0)
 
 
 def render_image_jnp(
@@ -338,19 +361,29 @@ def render_image_jnp(
     if opts.sampler == "stratified":
         # one Cranley-Patterson rotation per pixel, constant across the
         # render (and across spp chunks — it is keyed off ``key`` alone,
-        # which the api layer holds fixed while varying sample_offset)
+        # which the api layer holds fixed while varying sample_offset):
+        # 4 camera dims + 3 first-bounce dims (independent rotations)
         cp = jax.random.uniform(
             jax.random.fold_in(key, 0x52D2), (p, 4), dtype=jnp.float32
         )
+        cp_b0 = jax.random.uniform(
+            jax.random.fold_in(key, 0xB0C), (p, 3), dtype=jnp.float32
+        )
     else:
-        cp = None
+        cp = cp_b0 = None
 
     def body(s, carry):
         acc, segments = carry
-        skey = jax.random.fold_in(key, sample_offset + s)
-        uv = sampling.r2_point(cp, sample_offset + s) if cp is not None else None
+        s_abs = sample_offset + s
+        skey = jax.random.fold_in(key, s_abs)
+        uv = sampling.r2_point(cp, s_abs) if cp is not None else None
+        uv_b0 = (
+            sampling.r2_point(cp_b0, s_abs, sampling.R2_ALPHAS_B0)
+            if cp_b0 is not None else None
+        )
         color, seg = render_sample(
-            scene, dcam, st, skey, width, height, opts, debug, uv=uv
+            scene, dcam, st, skey, width, height, opts, debug, uv=uv,
+            uv_b0=uv_b0,
         )
         return acc + color, segments + seg
 

@@ -128,3 +128,16 @@ def test_disk_from_uv_matches_reference_map(key):
     ang = np.arctan2(d[:, 1], d[:, 0])
     hist, _ = np.histogram(ang, bins=8, range=(-np.pi, np.pi))
     assert hist.min() > N / 8 * 0.85
+
+
+def test_unit_vector_from_uv_matches_reference_law(key):
+    """The Archimedes (hx, phi) map must give the same distribution as
+    random_unit_vector (uniform on the sphere): unit norm, isotropy,
+    uniform cos — the same checks test_unit_vector_on_sphere applies to
+    the key-based sampler."""
+    u, v = jax.random.uniform(key, (2, N), jnp.float32)
+    p = np.asarray(sampling.unit_vector_from_uv(u, v))
+    np.testing.assert_allclose(np.linalg.norm(p, axis=-1), 1.0, atol=1e-5)
+    assert np.abs(p.mean(axis=0)).max() < 0.02
+    hist, _ = np.histogram(p[:, 2], bins=10, range=(-1, 1))
+    assert hist.min() > N / 10 * 0.85
