@@ -66,3 +66,17 @@ def test_cli_book_physics(tmp_path):
     b = io.decode_png(open(out_b, "rb").read())
     # depth-1 exhaustion: reference keeps throughput, book goes black
     assert a.astype(int).sum() > b.astype(int).sum()
+
+
+def test_cli_stratified_sampler(tmp_path):
+    """--sampler stratified plumbs through to a different (but valid)
+    render than the random default."""
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    base = ["--config", "two_sphere", "--width", "64", "--height", "36",
+            "--spp", "4", "--max-depth", "4", "--backend", "jnp"]
+    assert main(base + ["--sampler", "stratified", "--out", a]) == 0
+    assert main(base + ["--out", b]) == 0
+    ia = io.decode_png(open(a, "rb").read()).astype(np.float32)
+    ib = io.decode_png(open(b, "rb").read()).astype(np.float32)
+    assert not np.array_equal(ia, ib)  # different sample sequences
+    assert np.abs(ia - ib).mean() / 255.0 < 0.05  # same image to noise
