@@ -38,9 +38,10 @@ def main():
     rr = int(_os.environ.get("ADAPTIVE_RR", "5"))
     caps = tuple(int(c) for c in
                  _os.environ.get("ADAPTIVE_CAPS", "0,24,20,16").split(","))
+    sampler = _os.environ.get("ADAPTIVE_SAMPLER", "random")
     scene, cam, w, h, _, depth = presets.get_config("cover")
     opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr,
-                        backend="pallas")
+                        backend="pallas", sampler=sampler)
     key = jax.random.PRNGKey(0)
 
     def timed(o, k):
@@ -62,7 +63,7 @@ def main():
         return best, keep[0], keep[1]
 
     tfix, img_fix, _ = timed(opts, key)
-    print(f"fixed 500 spp (rr{rr}): {tfix:.2f}s", flush=True)
+    print(f"fixed 500 spp (rr{rr}, {sampler}): {tfix:.2f}s", flush=True)
 
     for cap in caps:
         for tol in (0.1, 0.2):

@@ -78,6 +78,28 @@ def test_adaptive_strips_on_single_chunk():
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_f))
 
 
+def test_adaptive_stratified(forced_chunks):
+    # the offline adaptive path composes with the stratified sampler:
+    # each pixel consumes a PREFIX of its R2 sequence (every prefix is
+    # low-discrepancy), so early termination needs no special handling
+    opts = TraceOptions(
+        max_depth=4, adaptive_tolerance=0.05, sampler="stratified"
+    )
+    img_a, stats = _render(opts)
+    img_a = np.asarray(img_a)
+    assert np.isfinite(img_a).all()
+    assert 3.0 <= float(stats["mean_spp"]) < 27.0
+    # deterministic
+    img_b, stats_b = _render(opts)
+    np.testing.assert_array_equal(img_a, np.asarray(img_b))
+    # quality vs the fixed-spp STRATIFIED render (same sampler, so the
+    # residual is the early-termination noise only)
+    img_f = np.asarray(
+        _render(TraceOptions(max_depth=4, sampler="stratified"))[0]
+    )
+    assert np.abs(img_a - img_f).mean() < 0.04
+
+
 def test_adaptive_sharded_strips(key):
     # sharded paths run fixed-spp regardless of the tolerance
     from raytracer_tpu.parallel.sharding import (
