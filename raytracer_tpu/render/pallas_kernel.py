@@ -1433,17 +1433,35 @@ ADAPTIVE_MIN_N = 64
 #: adaptive floor matrix)
 ADAPTIVE_AUTO_CHUNK = 16
 ADAPTIVE_ABS_FLOOR = 0.02
+#: two-sided 97.5% Student-t quantiles indexed by CHUNK count n_c
+#: (dof = n_c - 1); n_c < 3 can't form a CI (entry inf), n_c > 16
+#: clamps to the last entry (conservative — t keeps shrinking toward
+#: 1.96). Used by the between-chunk-mean variance estimator below.
+_T975_BY_CHUNKS = jnp.asarray(
+    [jnp.inf, jnp.inf, jnp.inf, 4.303, 3.182, 2.776, 2.571, 2.447,
+     2.365, 2.306, 2.262, 2.228, 2.201, 2.179, 2.160, 2.145, 2.131],
+    jnp.float32,
+)
 
 
 def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
-                   tol: float):
+                   tol: float, chunk_stats=None):
     """Adaptive variant of :func:`_plan_from_cost`: pixels sorted by
     (unconverged first, then descending cost), plus a per-pixel sample
     budget plane (0 for converged pixels, ``cs`` otherwise).
 
     acc planes: [r, g, b, cost, n, lum2] cumulative sums. Convergence:
     n >= ADAPTIVE_MIN_N and the 95% CI half-width of mean luminance
-    (sqrt(var/n)·1.96) is within tol·(mean + ADAPTIVE_ABS_FLOOR).
+    is within tol·(mean + ADAPTIVE_ABS_FLOOR). The CI is the MINIMUM of
+    two estimators: the per-sample one (sqrt(var/n)·1.96 — exact for
+    independent draws) and, when ``chunk_stats`` ([n_c, Σm, Σm²] per
+    pixel, m = a full chunk's mean luminance) has n_c >= 3 chunks, a
+    Student-t CI on the between-chunk-mean variance. For the random
+    sampler the two agree in expectation; for the STRATIFIED sampler the
+    per-sample variance cannot see the stratification (it estimates the
+    marginal variance, not the variance of the mean) while chunk means
+    do — letting stratified renders stop when their TRUE error meets the
+    tolerance (PERF.md adaptive × stratified).
     Padding pixels (n == 0) count as converged so they keep packing
     last — along a lane's K slots budgets stay monotone non-increasing,
     which the kernel's single advance step relies on."""
@@ -1452,6 +1470,19 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     mean = (acc[0] + acc[1] + acc[2]) * (1.0 / 3.0) / n_safe
     var = jnp.maximum(acc[5] / n_safe - mean * mean, 0.0)
     ci = 1.96 * jnp.sqrt(var / n_safe)
+    if chunk_stats is not None:
+        n_c = chunk_stats[0]
+        nc_safe = jnp.maximum(n_c, 1.0)
+        m_mean = chunk_stats[1] / nc_safe
+        s2 = jnp.maximum(
+            chunk_stats[2] / nc_safe - m_mean * m_mean, 0.0
+        ) * nc_safe / jnp.maximum(n_c - 1.0, 1.0)
+        t = jnp.take(
+            _T975_BY_CHUNKS,
+            jnp.clip(n_c.astype(jnp.int32), 0, _T975_BY_CHUNKS.shape[0] - 1),
+        )
+        ci_c = t * jnp.sqrt(s2 / nc_safe)
+        ci = jnp.where(n_c >= 3.0, jnp.minimum(ci, ci_c), ci)
     converged = jnp.logical_or(
         n == 0.0,
         jnp.logical_and(
@@ -1664,10 +1695,21 @@ def _render_adaptive_scan(
     accumulate → re-decide convergence per chunk inside a lax.scan.
     Converged pixels get budget 0 and pack last, so their tiles' lanes
     die at launch — effective work tracks the unconverged pixel count
-    with zero extra dispatches."""
+    with zero extra dispatches.
+
+    The carry also accumulates per-pixel BETWEEN-CHUNK-MEAN statistics
+    ([n_c, Σm, Σm²], m = this chunk's mean luminance — computed
+    elementwise from consecutive accumulator snapshots, no kernel or
+    permute cost): every uniform chunk delivers exactly ``cs`` samples
+    to each still-sampling pixel, so chunk means are iid estimates of
+    the pixel mean whose spread reflects the ACTUAL sampler variance —
+    including stratification, which the per-sample variance cannot see
+    (see :func:`_plan_adaptive`). The profile chunk (different size) is
+    excluded by construction: stats start at zero here."""
 
     def body(carry, i):
-        acc, segments, inv, pixel_map = carry
+        acc, segments, inv, pixel_map, cstats = carry
+        lsum_prev, n_prev = acc[0] + acc[1] + acc[2], acc[4]
         out = _render_chunk_impl(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
             r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
@@ -1676,13 +1718,24 @@ def _render_adaptive_scan(
         acc, segments = _accumulate_sorted(
             out, acc, segments, inv, k_slots, 6
         )
-        inv, pixel_map = _plan_adaptive(
-            acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance
+        dn = acc[4] - n_prev  # cs where the pixel sampled, else 0
+        sampled = (dn > 0.0).astype(jnp.float32)
+        m_c = (
+            (acc[0] + acc[1] + acc[2] - lsum_prev)
+            * (1.0 / 3.0) / jnp.maximum(dn, 1.0)
         )
-        return (acc, segments, inv, pixel_map), None
+        cstats = cstats + jnp.stack(
+            [sampled, m_c * sampled, m_c * m_c * sampled]
+        )
+        inv, pixel_map = _plan_adaptive(
+            acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance,
+            chunk_stats=cstats,
+        )
+        return (acc, segments, inv, pixel_map, cstats), None
 
-    (acc, segments, _, _), _ = jax.lax.scan(
-        body, (acc, segments, inv, pixel_map),
+    cstats0 = jnp.zeros((3,) + acc.shape[1:], jnp.float32)
+    (acc, segments, _, _, _), _ = jax.lax.scan(
+        body, (acc, segments, inv, pixel_map, cstats0),
         jnp.arange(n, dtype=jnp.int32),
     )
     return acc, segments

@@ -100,6 +100,50 @@ def test_adaptive_stratified(forced_chunks):
     assert np.abs(img_a - img_f).mean() < 0.04
 
 
+def test_chunk_mean_ci_sees_stratification():
+    # the between-chunk-mean estimator: pixels whose PER-SAMPLE variance
+    # is large (so the 1.96·sqrt(var/n) CI fails the tolerance) still
+    # converge when their chunk means are tight — the stratified-sampler
+    # case the per-sample variance cannot see. n_c < 3 can't form a
+    # t-CI, so the same tight chunk stats with 2 chunks must NOT stop.
+    import jax.numpy as jnp
+
+    P = 1024  # one (k_slots=1, r_sub=8, 128-lane) tile, width 128
+    cs = 8
+    n = jnp.full((P,), float(pk.ADAPTIVE_MIN_N))
+    mean = 0.5
+    # per-sample variance 0.25 -> ci_sample = 1.96*sqrt(.25/64) = 0.1225
+    # vs tol*(mean+floor) = 0.05*(0.52) = 0.026: NOT converged
+    acc = jnp.stack([
+        n * mean, n * mean, n * mean,          # rgb sums
+        jnp.ones((P,)),                        # cost
+        n,                                     # n
+        n * (mean * mean + 0.25),              # lum^2 sum
+    ])
+
+    def total_budget(chunk_stats):
+        _, pm = pk._plan_adaptive(
+            acc, 128, 8, 1, cs, 0.05, chunk_stats=chunk_stats
+        )
+        return float(pm[:, 2].sum())
+
+    assert total_budget(None) == cs * P  # sample-CI alone: all unconverged
+    # 8 chunks whose means are essentially identical -> s2 ~ 0 -> stop
+    tight = jnp.stack([
+        jnp.full((P,), 8.0),
+        jnp.full((P,), 8.0 * mean),
+        jnp.full((P,), 8.0 * mean * mean + 1e-9),
+    ])
+    assert total_budget(tight) == 0.0
+    # same tightness but only 2 chunks: no t-CI, stays unconverged
+    two = jnp.stack([
+        jnp.full((P,), 2.0),
+        jnp.full((P,), 2.0 * mean),
+        jnp.full((P,), 2.0 * mean * mean + 1e-9),
+    ])
+    assert total_budget(two) == cs * P
+
+
 def test_adaptive_sharded_strips(key):
     # sharded paths run fixed-spp regardless of the tolerance
     from raytracer_tpu.parallel.sharding import (
