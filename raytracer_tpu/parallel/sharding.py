@@ -202,6 +202,37 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
     return acc, segments
 
 
+def _pallas_band_adaptive(scene, dcam, seed, spp_local, width, height,
+                          local_h, opts, interpret, r_sub, k_slots,
+                          sizes_a, g_full=None):
+    """Per-shard ADAPTIVE band render: the single-chip adaptive drivers
+    (profile chunk → fused re-planning lax.scan with per-pixel early
+    termination, pallas_kernel._render_adaptive_profiled/_scan) run
+    shard-locally. Convergence is a per-pixel decision computed from that
+    pixel's own statistics, so bands decide independently — no
+    collectives, and per-pixel sample counts match the single-chip
+    adaptive render whenever the chunk schedule matches (same absolute
+    RNG streams, same chunk boundaries ⇒ same stop decisions).
+
+    Returns (acc (6, Hp_local·Wp) flat pixel sums incl. n/lum² planes,
+    segments scalar)."""
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    row_offset = jax.lax.axis_index("rows") * local_h
+    acc, segments, inv, pm = pk._render_adaptive_profiled(
+        scene, dcam, seed, width, height, sizes_a[0], opts, r_sub,
+        interpret, k_slots, g_full, cs_next=sizes_a[1],
+        local_height=local_h, row_offset=row_offset,
+    )
+    acc, segments = pk._render_adaptive_scan(
+        scene, dcam, seed, jnp.int32(sizes_a[0]), acc, segments, inv, pm,
+        width, height, sizes_a[1], len(sizes_a) - 1, opts, r_sub,
+        interpret, k_slots, g_full, local_height=local_h,
+        row_offset=row_offset,
+    )
+    return acc, segments
+
+
 def _shard_tile_params(local_h: int, r_sub: int = 8, k_slots: int = 4):
     """The single-chip tile-shape guards (pallas_kernel.render_image_pallas)
     applied to a shard's band height — plus a divisibility requirement the
@@ -239,15 +270,11 @@ def render_image_sharded_pallas(
     from raytracer_tpu.render import pallas_kernel as pk
 
     opts = opts or TraceOptions()
-    if opts.adaptive_tolerance > 0.0:
-        # adaptive sampling is single-chip for now: the sharded paths
-        # run the fixed-spp (4-channel) accumulator layout
-        opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
     if opts.enable_debug:
         # the debug overlay is an interactive single-chip feature; the
         # sharded band helpers never populate the cursor/selection
         # uniform slots, so honoring the flag here would paint garbage
-        # markers — drop it explicitly (same policy as adaptive above)
+        # markers — drop it explicitly
         opts = dataclasses.replace(opts, enable_debug=False)
     rows = mesh.shape["rows"]
     spp_axis = "spp" if "spp" in mesh.shape else None
@@ -286,10 +313,39 @@ def render_image_sharded_pallas(
     use_sorted = opts.sort_pixels and spp_local > chunk_local
     r_sub, k_slots = _shard_tile_params(local_h)
 
+    # adaptive per-pixel early termination, mirroring the single-chip
+    # gate (pallas_kernel._render_pallas): a finer uniform chunk schedule
+    # so convergence re-decides often. Shard-local — each band plans its
+    # own pixels, no collectives. Requires every shard to see a pixel's
+    # FULL sample stream, so it only engages without an spp axis (an spp
+    # shard stopping a pixel early would desync the disjoint sample
+    # ranges); spp-sharded renders strip the tolerance and run fixed-spp.
+    use_adaptive = False
+    if opts.adaptive_tolerance > 0.0:
+        if spp_size == 1 and opts.sort_pixels:
+            cap = (opts.adaptive_chunk_spp
+                   if opts.adaptive_chunk_spp > 0
+                   else pk.ADAPTIVE_AUTO_CHUNK)
+            chunk_a = min(chunk_local, cap)
+            sizes_a, uniform_a = pk._chunk_schedule(spp_local, chunk_a)
+            use_adaptive = spp_local > chunk_a and uniform_a
+        if not use_adaptive:
+            opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
+
     def shard_body(scene, dcam, seed):
         samp0 = (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
+        if use_adaptive:
+            # spp_size == 1 by the gate above: no spp-axis psum needed
+            acc, segments = _pallas_band_adaptive(
+                scene, dcam, seed, spp_local, width, height, local_h,
+                opts, interpret, r_sub, k_slots, sizes_a, g_full=g_full,
+            )
+            image, mean_spp = pk._finalize_adaptive(
+                acc, width, local_h, opts.gamma, r_sub, k_slots
+            )
+            return image, segments[None], mean_spp[None]
         if use_sorted:
             acc, segments = _pallas_band_sorted(
                 scene, dcam, seed, samp0, spp_local, width, height,
@@ -311,17 +367,25 @@ def render_image_sharded_pallas(
         image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)
         return image, segments[None]
 
+    out_specs = (P("rows", None, None), P("rows"))
+    if use_adaptive:
+        out_specs += (P("rows"),)  # per-band mean effective spp
     fn = shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P("rows", None, None), P("rows")),
+        out_specs=out_specs,
         check_rep=False,
     )
-    image, segments = jax.jit(fn)(scene, dcam, seed)
+    out = jax.jit(fn)(scene, dcam, seed)
+    image, segments = out[0], out[1]
     if return_stats:
         # per-rows-shard values are already psum'ed across the spp axis
-        return image, {"segments": jnp.sum(segments)}
+        stats = {"segments": jnp.sum(segments)}
+        if use_adaptive:
+            # equal band heights ⇒ the mean of per-band means is exact
+            stats["mean_spp"] = jnp.mean(out[2])
+        return image, stats
     return image
 
 

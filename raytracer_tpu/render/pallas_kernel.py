@@ -1445,7 +1445,7 @@ _T975_BY_CHUNKS = jnp.asarray(
 
 
 def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
-                   tol: float, chunk_stats=None):
+                   tol: float, chunk_stats=None, row_offset=0):
     """Adaptive variant of :func:`_plan_from_cost`: pixels sorted by
     (unconverged first, then descending cost), plus a per-pixel sample
     budget plane (0 for converged pixels, ``cs`` otherwise).
@@ -1464,7 +1464,12 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     tolerance (PERF.md adaptive × stratified).
     Padding pixels (n == 0) count as converged so they keep packing
     last — along a lane's K slots budgets stay monotone non-increasing,
-    which the kernel's single advance step relies on."""
+    which the kernel's single advance step relies on.
+
+    ``row_offset`` (may be traced — a shard's band start) shifts ipy to
+    ABSOLUTE image rows, exactly as in :func:`_plan_from_cost`: the
+    permuted kernel derives RNG and camera st from (ipx, ipy) alone, so
+    a shard's plan must name global pixels; ``inv`` stays local."""
     n = acc[4]
     n_safe = jnp.maximum(n, 1.0)
     mean = (acc[0] + acc[1] + acc[2]) * (1.0 / 3.0) / n_safe
@@ -1495,7 +1500,9 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     inv = jnp.argsort(order)
     wp = pl.cdiv(width, LANES) * LANES
     ipx = (order % wp).astype(jnp.int32)
-    ipy = (order // wp).astype(jnp.int32)
+    ipy = (order // wp).astype(jnp.int32) + jnp.asarray(
+        row_offset, jnp.int32
+    )
     budget = jnp.where(converged, 0, cs).astype(jnp.int32)[order]
     nt = order.shape[0] // (k_slots * r_sub * LANES)
     pixel_map = (
@@ -1657,24 +1664,31 @@ def _render_chunks_scan(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "g_full", "cs_next",
+        "k_slots", "g_full", "cs_next", "local_height",
     ),
 )
 def _render_adaptive_profiled(
     scene, dcam, seed, width, height, chunk_spp, opts, r_sub, interpret,
-    k_slots, g_full, cs_next,
+    k_slots, g_full, cs_next, local_height=None, row_offset=0,
 ):
     """Adaptive profile chunk fused with its plan: renders the first
     (unsorted, full-budget) chunk, whose n/lum² channels seed the first
-    convergence decision."""
+    convergence decision. ``local_height``/``row_offset`` serve the
+    sharded band path (shard-local adaptive planning — convergence is a
+    per-pixel decision, so bands decide independently)."""
     out0 = _render_chunk_impl(
         scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
-        interpret, k_slots=k_slots, g_full=g_full,
+        interpret, local_height=local_height, row_offset=row_offset,
+        k_slots=k_slots, g_full=g_full,
     )
-    acc = _tiles_to_flat(out0, width, height, r_sub, k_slots, 6)
+    acc = _tiles_to_flat(
+        out0, width, local_height if local_height is not None else height,
+        r_sub, k_slots, 6,
+    )
     segments = jnp.sum(out0[:, 6 * k_slots, 0, 0])
     inv, pm = _plan_adaptive(
-        acc, width, r_sub, k_slots, cs_next, opts.adaptive_tolerance
+        acc, width, r_sub, k_slots, cs_next, opts.adaptive_tolerance,
+        row_offset=row_offset,
     )
     return acc, segments, inv, pm
 
@@ -1683,13 +1697,14 @@ def _render_adaptive_profiled(
     jax.jit,
     static_argnames=(
         "width", "height", "cs", "n", "opts", "r_sub", "interpret",
-        "k_slots", "g_full",
+        "k_slots", "g_full", "local_height",
     ),
     donate_argnums=(4, 5),
 )
 def _render_adaptive_scan(
     scene, dcam, seed, chunk0, acc, segments, inv, pixel_map, width,
     height, cs, n, opts, r_sub, interpret, k_slots, g_full,
+    local_height=None, row_offset=0,
 ):
     """All n uniform adaptive chunks in ONE device program: render →
     accumulate → re-decide convergence per chunk inside a lax.scan.
@@ -1712,7 +1727,8 @@ def _render_adaptive_scan(
         lsum_prev, n_prev = acc[0] + acc[1] + acc[2], acc[4]
         out = _render_chunk_impl(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
-            r_sub, interpret, pixel_map=pixel_map, k_slots=k_slots,
+            r_sub, interpret, local_height=local_height,
+            row_offset=row_offset, pixel_map=pixel_map, k_slots=k_slots,
             g_full=g_full,
         )
         acc, segments = _accumulate_sorted(
@@ -1729,7 +1745,7 @@ def _render_adaptive_scan(
         )
         inv, pixel_map = _plan_adaptive(
             acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance,
-            chunk_stats=cstats,
+            chunk_stats=cstats, row_offset=row_offset,
         )
         return (acc, segments, inv, pixel_map, cstats), None
 

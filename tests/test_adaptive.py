@@ -144,8 +144,9 @@ def test_chunk_mean_ci_sees_stratification():
     assert total_budget(two) == cs * P
 
 
-def test_adaptive_sharded_strips(key):
-    # sharded paths run fixed-spp regardless of the tolerance
+def test_adaptive_sharded_spp_axis_strips(key):
+    # an spp shard stopping a pixel early would desync the disjoint
+    # sample ranges, so spp-sharded renders strip the tolerance
     from raytracer_tpu.parallel.sharding import (
         make_mesh,
         render_image_sharded_pallas,
@@ -153,13 +154,51 @@ def test_adaptive_sharded_strips(key):
 
     scene, cam, *_ = presets.get_config("two_sphere", W, H)
     a = render_image_sharded_pallas(
-        scene, cam, W, H, 2, key, make_mesh((2,), ("rows",)),
+        scene, cam, W, H, 4, key, make_mesh((2, 2)),
         TraceOptions(max_depth=3, adaptive_tolerance=0.05),
     )
     b = render_image_sharded_pallas(
-        scene, cam, W, H, 2, key, make_mesh((2,), ("rows",)),
+        scene, cam, W, H, 4, key, make_mesh((2, 2)),
         TraceOptions(max_depth=3),
     )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_sharded_rows_matches_single_chip(forced_chunks, key):
+    # rows-only meshes run the adaptive drivers shard-locally; with the
+    # same (forced) chunk schedule, per-pixel stop decisions and
+    # accumulation order match the single-chip adaptive render exactly
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded_pallas,
+    )
+
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    img_s, stats_s = render_image_sharded_pallas(
+        scene, cam, W, H, 27, key, make_mesh((2,), ("rows",)), opts,
+        return_stats=True,
+    )
+    img_1, stats_1 = _render(opts, spp=27, key=key)
+    assert float(stats_s["mean_spp"]) < 27.0  # early stopping engaged
+    assert float(stats_s["mean_spp"]) == pytest.approx(
+        float(stats_1["mean_spp"]), abs=1e-3
+    )
+    assert float(stats_s["segments"]) == float(stats_1["segments"])
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+
+
+def test_adaptive_sharded_rows_deterministic(forced_chunks, key):
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded_pallas,
+    )
+
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    mesh = make_mesh((4,), ("rows",))
+    a = render_image_sharded_pallas(scene, cam, W, H, 27, key, mesh, opts)
+    b = render_image_sharded_pallas(scene, cam, W, H, 27, key, mesh, opts)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
