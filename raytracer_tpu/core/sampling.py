@@ -113,33 +113,87 @@ def pixel_jitter(key, shape=()):
 # chain, static/shader.frag:11-36).
 
 _R2_G2 = 1.3247179572447460  # plastic constant: real root of g^3 = g + 1
+_SUPERGOLDEN = 1.4655712318767682  # real root of g^3 = g^2 + 1
 R2_ALPHAS_4D = (
     1.0 / _R2_G2,  # jitter_u
     1.0 / _R2_G2 ** 2,  # jitter_v
     math.sqrt(2.0) - 1.0,  # lens_u
     math.sqrt(3.0) - 1.0,  # lens_v
 )
-#: first-bounce stratification dims (independent rotations, so reusing
-#: the near-optimal plastic pair is sound): diffuse unit-vector (hx, phi)
-#: pair + the glass Schlick-roulette roll (1-D golden ratio — the optimal
-#: 1-D additive recurrence). Measured 1.6-1.8x MSE cut on the demo scene
-#: beyond camera-only stratification (PERF.md).
+#: first-bounce stratification dims: diffuse unit-vector (hx, phi) pair
+#: on the SUPERGOLDEN additive recurrence + the glass Schlick-roulette
+#: roll (1-D golden ratio — the optimal 1-D additive recurrence).
+#: The alphas must be distinct from every camera dim: per-pixel the 7
+#: dims share ONE index s, so any repeated alpha makes the joint
+#: sequence rank-deficient — (jitter_u − diffuse_hx) would be CONSTANT
+#: mod 1 within a pixel, a per-pixel bias that more samples never
+#: remove (independent Cranley-Patterson rotations only randomize the
+#: constant, they don't restore joint equidistribution). Measured
+#: (scripts/probe_r2_alphas.py): a shared plastic pair leaves a
+#: non-decaying cross-pair integration error of mean 6.2e-2 / max 0.125;
+#: the supergolden pair cuts it to ~3.7e-4 at n=2e4 (decaying) while its
+#: own 2-D spread stays near-optimal (min pairwise distance 0.111 at 32
+#: pts vs plastic's 0.141, random's 0.019). Measured 1.6-1.8x MSE cut on
+#: the demo scene beyond camera-only stratification (PERF.md).
 R2_ALPHAS_B0 = (
-    1.0 / _R2_G2,  # diffuse hx
-    1.0 / _R2_G2 ** 2,  # diffuse phi
+    1.0 / _SUPERGOLDEN,  # diffuse hx
+    1.0 / _SUPERGOLDEN ** 2,  # diffuse phi
     (math.sqrt(5.0) - 1.0) / 2.0,  # glass roll
 )
+
+
+def alphas_fixed32(alphas) -> tuple:
+    """Each alpha as a 32-bit fixed-point integer round(alpha·2^32) mod
+    2^32 — the exact-arithmetic representation :func:`r2_point` and the
+    Pallas kernel share."""
+    return tuple(int(round(a * 2.0 ** 32)) & 0xFFFFFFFF for a in alphas)
 
 
 def r2_point(cp, s, alphas=R2_ALPHAS_4D):
     """The s-th Kronecker point under rotation ``cp``: frac(cp + s·alpha).
 
     ``cp``: (..., len(alphas)) uniform rotations; ``s``: scalar or
-    broadcastable sample index (int or f32-exact). Returns values in
-    [0,1) with uniform marginals."""
-    a = jnp.asarray(alphas, dtype=jnp.float32)
-    x = cp + jnp.asarray(s, jnp.float32)[..., None] * a
-    return x - jnp.floor(x)
+    broadcastable non-negative sample index (int). Returns values in
+    [0,1) with uniform marginals.
+
+    Computed in 32-bit FIXED POINT (alpha as round(alpha·2^32), the sum
+    mod 2^32, top 24 bits → f32): exact for every s, where the f32
+    recurrence frac(cp + s·alpha) quantizes once s·alpha outgrows the
+    24-bit mantissa — at s ≈ 2^17 a stratified progressive session's
+    sample positions would collapse onto ~128 levels and the accumulated
+    image would stop converging. The fixed-point sequence is exact until
+    its 2^32 period, far beyond any session."""
+    a = jnp.asarray(alphas_fixed32(alphas), dtype=jnp.uint32)
+    # cp enters with f32 (24-bit) precision; keep exactly those bits
+    cp_fix = (cp * jnp.float32(2.0 ** 24)).astype(jnp.uint32) << jnp.uint32(8)
+    s_u = jnp.asarray(s).astype(jnp.uint32)[..., None]
+    x = cp_fix + s_u * a
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
+#: key-fold salts for the per-pixel Cranley-Patterson rotations — shared
+#: by every stratified host path (single-chip tracer and sharded bands)
+#: so the rotation streams cannot drift apart
+CP_CAMERA_SALT = 0x52D2
+CP_BOUNCE0_SALT = 0xB0C
+
+
+def stratified_rotations(key, p: int):
+    """Per-pixel Cranley-Patterson rotations for the stratified sampler:
+    ((p, 4) camera dims, (p, 3) first-bounce dims), uniform [0,1).
+
+    Keyed off ``key`` alone — constant across the render and across spp
+    chunks (the api layer holds the key fixed while varying
+    sample_offset), so every chunk walks the SAME per-pixel Kronecker
+    sequence. One implementation serves the single-chip tracer and the
+    sharded band path (each band passes its own pixel count)."""
+    cp = jax.random.uniform(
+        jax.random.fold_in(key, CP_CAMERA_SALT), (p, 4), dtype=jnp.float32
+    )
+    cp_b0 = jax.random.uniform(
+        jax.random.fold_in(key, CP_BOUNCE0_SALT), (p, 3), dtype=jnp.float32
+    )
+    return cp, cp_b0
 
 
 def disk_from_uv(u, v):

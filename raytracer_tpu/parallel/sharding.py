@@ -74,13 +74,9 @@ def _render_shard(
     if opts.sampler == "stratified":
         # per-pixel Cranley-Patterson rotation, per shard (the spp axis, if
         # sharded, contributes independently-rotated LDS prefixes — still
-        # unbiased and stratified within each shard; see render_image_jnp)
-        cp = jax.random.uniform(
-            jax.random.fold_in(key, 0x52D2), (st.shape[0], 4), jnp.float32
-        )
-        cp_b0 = jax.random.uniform(
-            jax.random.fold_in(key, 0xB0C), (st.shape[0], 3), jnp.float32
-        )
+        # unbiased and stratified within each shard); ONE implementation
+        # shared with render_image_jnp so the streams cannot drift
+        cp, cp_b0 = sampling.stratified_rotations(key, st.shape[0])
     else:
         cp = cp_b0 = None
 
@@ -202,7 +198,7 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
     return acc, segments
 
 
-def _pallas_band_adaptive(scene, dcam, seed, spp_local, width, height,
+def _pallas_band_adaptive(scene, dcam, seed, width, height,
                           local_h, opts, interpret, r_sub, k_slots,
                           sizes_a, g_full=None):
     """Per-shard ADAPTIVE band render: the single-chip adaptive drivers
@@ -339,7 +335,7 @@ def render_image_sharded_pallas(
         if use_adaptive:
             # spp_size == 1 by the gate above: no spp-axis psum needed
             acc, segments = _pallas_band_adaptive(
-                scene, dcam, seed, spp_local, width, height, local_h,
+                scene, dcam, seed, width, height, local_h,
                 opts, interpret, r_sub, k_slots, sizes_a, g_full=g_full,
             )
             image, mean_spp = pk._finalize_adaptive(

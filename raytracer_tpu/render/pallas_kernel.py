@@ -58,7 +58,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.camera.camera import DerivedCamera
-from raytracer_tpu.core.sampling import R2_ALPHAS_4D, R2_ALPHAS_B0
+from raytracer_tpu.core.sampling import (
+    R2_ALPHAS_4D,
+    R2_ALPHAS_B0,
+    alphas_fixed32,
+)
 from raytracer_tpu.render.options import MAX_T, MIN_T, TraceOptions
 from raytracer_tpu.scene.spheres import Scene
 
@@ -67,6 +71,10 @@ DEFAULT_R_SUB = 8  # 8 rows x 128 lanes = 1024 rays per grid step
 
 TWO_PI = 6.2831853071795864
 INV_24 = 1.0 / 16777216.0  # 2^-24
+#: stratified-sampler alphas as 32-bit fixed-point integers (the exact
+#: representation _r2_fixed consumes; shared with core/sampling.r2_point)
+_A4_FIX = alphas_fixed32(R2_ALPHAS_4D)
+_AB0_FIX = alphas_fixed32(R2_ALPHAS_B0)
 
 
 # --- counter-based in-kernel RNG --------------------------------------------
@@ -83,14 +91,35 @@ def _lowbias32(x):
     return x
 
 
-def _u01(pix: jnp.ndarray, ctr, salt: int):
-    """One uniform [0,1) draw per lane: hash(pixel ⊕ golden·(ctr+salt))."""
+def _hash32(pix: jnp.ndarray, ctr, salt: int):
+    """The raw 32-bit hash stream: hash(pixel ⊕ golden·(ctr+salt))."""
     c = (jnp.uint32(ctr) + jnp.uint32(salt)) * jnp.uint32(0x9E3779B9)
-    h = _lowbias32(pix ^ c)
-    # Mosaic has no uint32→f32 cast; the top-24-bit value fits a positive
-    # int32, so bitcast then convert.
-    h24 = jax.lax.bitcast_convert_type(h >> 8, jnp.int32)
+    return _lowbias32(pix ^ c)
+
+
+def _to_u01(h):
+    """Top 24 bits of a uint32 → f32 in [0,1). Mosaic has no uint32→f32
+    cast; the 24-bit value fits a positive int32, so bitcast then
+    convert."""
+    h24 = jax.lax.bitcast_convert_type(h >> jnp.uint32(8), jnp.int32)
     return h24.astype(jnp.float32) * INV_24
+
+
+def _u01(pix: jnp.ndarray, ctr, salt: int):
+    """One uniform [0,1) draw per lane."""
+    return _to_u01(_hash32(pix, ctr, salt))
+
+
+def _r2_fixed(pix, rot, d: int, s_u, a_fix: int):
+    """The s-th Kronecker point of dim ``d`` in 32-bit FIXED point: the
+    per-pixel hash is the Cranley-Patterson rotation (full 32 bits) and
+    frac(cp + s·alpha) becomes (cp_fix + s·a_fix) mod 2^32 — exact for
+    every sample index, where the f32 recurrence quantizes once s·alpha
+    outgrows the 24-bit mantissa (a stratified progressive session's
+    draws would collapse onto ~128 levels by s ≈ 2^17). Mirrors
+    core/sampling.r2_point's arithmetic bit-for-bit in the top 24 bits."""
+    x = _hash32(pix, rot, d) + s_u * jnp.uint32(a_fix)
+    return _to_u01(x)
 
 
 # --- small vector helpers over SoA triples -----------------------------------
@@ -289,13 +318,10 @@ def _make_kernel(
             ctr0 = s_i * draws_per_sample
             if stratified:
                 rot = jnp.uint32(0xFFFFFFFC)  # ctr -4: cp draws at -4..-1
-                s_abs = s_i.astype(jnp.float32)
+                s_u = s_i.astype(jnp.uint32)
 
                 def r2(d):
-                    x = _u01(pix, rot, d) + s_abs * jnp.float32(
-                        R2_ALPHAS_4D[d]
-                    )
-                    return x - jnp.floor(x)
+                    return _r2_fixed(pix, rot, d, s_u, _A4_FIX[d])
 
                 u0, u1, u2, u3 = r2(0), r2(1), r2(2), r2(3)
             else:
@@ -598,16 +624,13 @@ def _make_kernel(
                 # keep the counter-hashed draws. Measured 1.6-1.8x MSE
                 # cut on diffuse scenes (PERF.md).
                 rot_b = jnp.uint32(0xFFFFFFF8)
-                s_abs = (
+                s_u = (
                     (sample_offset + s_f.astype(jnp.int32))
-                    .astype(jnp.float32)
+                    .astype(jnp.uint32)
                 )
 
                 def r2b(d):
-                    x = _u01(pix, rot_b, d) + s_abs * jnp.float32(
-                        R2_ALPHAS_B0[d]
-                    )
-                    return x - jnp.floor(x)
+                    return _r2_fixed(pix, rot_b, d, s_u, _AB0_FIX[d])
 
                 b_hx = r2b(0) * 2.0 - 1.0
                 b_phi = r2b(1) * TWO_PI
@@ -1456,12 +1479,15 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     two estimators: the per-sample one (sqrt(var/n)·1.96 — exact for
     independent draws) and, when ``chunk_stats`` ([n_c, Σm, Σm²] per
     pixel, m = a full chunk's mean luminance) has n_c >= 3 chunks, a
-    Student-t CI on the between-chunk-mean variance. For the random
-    sampler the two agree in expectation; for the STRATIFIED sampler the
-    per-sample variance cannot see the stratification (it estimates the
-    marginal variance, not the variance of the mean) while chunk means
-    do — letting stratified renders stop when their TRUE error meets the
-    tolerance (PERF.md adaptive × stratified).
+    Student-t CI on the between-chunk-mean variance. Only the STRATIFIED
+    scan passes ``chunk_stats``: its per-sample variance cannot see the
+    stratification (it estimates the marginal variance, not the variance
+    of the mean) while chunk means do — letting stratified renders stop
+    when their TRUE error meets the tolerance, with the per-sample CI as
+    a conservative upper bound (PERF.md adaptive × stratified). The
+    random sampler keeps the exact per-sample CI alone: min-ing two
+    independent estimates of the SAME quantity would systematically
+    select the underestimate (anti-conservative coverage).
     Padding pixels (n == 0) count as converged so they keep packing
     last — along a lane's K slots budgets stay monotone non-increasing,
     which the kernel's single advance step relies on.
@@ -1712,19 +1738,28 @@ def _render_adaptive_scan(
     die at launch — effective work tracks the unconverged pixel count
     with zero extra dispatches.
 
-    The carry also accumulates per-pixel BETWEEN-CHUNK-MEAN statistics
-    ([n_c, Σm, Σm²], m = this chunk's mean luminance — computed
-    elementwise from consecutive accumulator snapshots, no kernel or
-    permute cost): every uniform chunk delivers exactly ``cs`` samples
-    to each still-sampling pixel, so chunk means are iid estimates of
-    the pixel mean whose spread reflects the ACTUAL sampler variance —
-    including stratification, which the per-sample variance cannot see
-    (see :func:`_plan_adaptive`). The profile chunk (different size) is
-    excluded by construction: stats start at zero here."""
+    For the STRATIFIED sampler only, the carry also accumulates
+    per-pixel BETWEEN-CHUNK-MEAN statistics ([n_c, Σm, Σm²], m = this
+    chunk's mean luminance — computed elementwise from consecutive
+    accumulator snapshots, no kernel or permute cost): every uniform
+    chunk delivers exactly ``cs`` samples to each still-sampling pixel,
+    so chunk means are iid estimates of the pixel mean whose spread
+    reflects the ACTUAL sampler variance — including stratification,
+    which the per-sample variance cannot see (see
+    :func:`_plan_adaptive`). The profile chunk (different size) is
+    excluded by construction: stats start at zero here. The random
+    sampler does NOT track chunk stats: its per-sample CI is already
+    exact, and min-ing it with a second independent estimate of the
+    same quantity would systematically select the underestimate
+    (anti-conservative — the stop rule would cover below its stated
+    95%)."""
+    track_chunks = opts.sampler == "stratified"
 
     def body(carry, i):
-        acc, segments, inv, pixel_map, cstats = carry
-        lsum_prev, n_prev = acc[0] + acc[1] + acc[2], acc[4]
+        acc, segments, inv, pixel_map = carry[:4]
+        cstats = carry[4] if track_chunks else None
+        if track_chunks:
+            lsum_prev, n_prev = acc[0] + acc[1] + acc[2], acc[4]
         out = _render_chunk_impl(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
             r_sub, interpret, local_height=local_height,
@@ -1734,27 +1769,32 @@ def _render_adaptive_scan(
         acc, segments = _accumulate_sorted(
             out, acc, segments, inv, k_slots, 6
         )
-        dn = acc[4] - n_prev  # cs where the pixel sampled, else 0
-        sampled = (dn > 0.0).astype(jnp.float32)
-        m_c = (
-            (acc[0] + acc[1] + acc[2] - lsum_prev)
-            * (1.0 / 3.0) / jnp.maximum(dn, 1.0)
-        )
-        cstats = cstats + jnp.stack(
-            [sampled, m_c * sampled, m_c * m_c * sampled]
-        )
+        if track_chunks:
+            dn = acc[4] - n_prev  # cs where the pixel sampled, else 0
+            sampled = (dn > 0.0).astype(jnp.float32)
+            m_c = (
+                (acc[0] + acc[1] + acc[2] - lsum_prev)
+                * (1.0 / 3.0) / jnp.maximum(dn, 1.0)
+            )
+            cstats = cstats + jnp.stack(
+                [sampled, m_c * sampled, m_c * m_c * sampled]
+            )
         inv, pixel_map = _plan_adaptive(
             acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance,
             chunk_stats=cstats, row_offset=row_offset,
         )
-        return (acc, segments, inv, pixel_map, cstats), None
+        carry = (acc, segments, inv, pixel_map)
+        if track_chunks:
+            carry += (cstats,)
+        return carry, None
 
-    cstats0 = jnp.zeros((3,) + acc.shape[1:], jnp.float32)
-    (acc, segments, _, _, _), _ = jax.lax.scan(
-        body, (acc, segments, inv, pixel_map, cstats0),
-        jnp.arange(n, dtype=jnp.int32),
+    carry0 = (acc, segments, inv, pixel_map)
+    if track_chunks:
+        carry0 += (jnp.zeros((3,) + acc.shape[1:], jnp.float32),)
+    carry, _ = jax.lax.scan(
+        body, carry0, jnp.arange(n, dtype=jnp.int32)
     )
-    return acc, segments
+    return carry[0], carry[1]
 
 
 @functools.partial(

@@ -360,15 +360,10 @@ def render_image_jnp(
 
     if opts.sampler == "stratified":
         # one Cranley-Patterson rotation per pixel, constant across the
-        # render (and across spp chunks — it is keyed off ``key`` alone,
-        # which the api layer holds fixed while varying sample_offset):
-        # 4 camera dims + 3 first-bounce dims (independent rotations)
-        cp = jax.random.uniform(
-            jax.random.fold_in(key, 0x52D2), (p, 4), dtype=jnp.float32
-        )
-        cp_b0 = jax.random.uniform(
-            jax.random.fold_in(key, 0xB0C), (p, 3), dtype=jnp.float32
-        )
+        # render and across spp chunks: 4 camera dims + 3 first-bounce
+        # dims (core/sampling.stratified_rotations — shared with the
+        # sharded band path)
+        cp, cp_b0 = sampling.stratified_rotations(key, p)
     else:
         cp = cp_b0 = None
 

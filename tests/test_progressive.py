@@ -182,7 +182,8 @@ def test_stratified_frames_decompose_like_offline(key):
     [i·spp, (i+1)·spp) — fixed session key, advancing sample_offset
     (should_average=False exposes raw frames). Equal to jit-fusion
     rounding (the step jits the whole pipeline; the offline call runs
-    eagerly — ~1-ULP differences on a few percent of pixels)."""
+    eagerly — few-ULP differences on a fraction of a percent of pixels,
+    measured max ~2e-6 through the gamma sqrt)."""
     scene, cam = setup()
     opts = TraceOptions(max_depth=4, sampler="stratified")
     step = make_step_fn(W, H, spp=2, opts=opts, should_average=False)
@@ -195,7 +196,7 @@ def test_stratified_frames_decompose_like_offline(key):
         )
         np.testing.assert_allclose(
             np.asarray(state.accum), np.asarray(offline),
-            rtol=0, atol=5e-7, err_msg=f"frame {i}",
+            rtol=0, atol=5e-6, err_msg=f"frame {i}",
         )
 
 
