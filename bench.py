@@ -17,7 +17,9 @@ companion run is always reported (stderr + rr0_* JSON fields;
 BENCH_SKIP_RR0=1 to skip). BENCH_CONVERGENCE=1 adds a device-side
 full-spp mean-abs-diff check of the Pallas kernel against the
 independent jnp tracer on a 304x200 crop; BENCH_CONVERGENCE=full runs
-the whole frame (~30+ min ground-truth capture). An adaptive-sampling
+the whole frame (~30+ min ground-truth capture);
+BENCH_CONVERGENCE=golden compares one fresh full-frame Pallas render
+against the committed jnp rr0 ground truth (tests/goldens/, seconds). An adaptive-sampling
 companion line runs by default at tol=0.2 (the BASELINE's "converged
 in <2 s" framing reads off it); BENCH_ADAPTIVE sets the tolerance,
 =0 disables, BENCH_ADAPTIVE_CHUNK overrides the chunk cap, and
@@ -338,7 +340,33 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-        if os.environ.get("BENCH_CONVERGENCE"):
+        conv_mode = os.environ.get("BENCH_CONVERGENCE")
+        if conv_mode == "golden":
+            # FULL-FRAME physics regression against the committed jnp rr0
+            # ground truth (tests/goldens/, written by
+            # scripts/capture_convergence.py): one fresh Pallas render vs
+            # a stored independent-tracer image — the full 1200x800 check
+            # at ~1/300th of the 'full' mode's device time. Expected
+            # mean|Δ| ≈ 4.3e-3 (rr5-vs-rr0 + MC noise, CONVERGENCE_r03).
+            golden = np.load(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "goldens", "cover_jnp_rr0_500spp_f16.npz",
+            ))["image"].astype(np.float64)
+            hg, wg = golden.shape[:2]
+            img_p, _ = render_image(
+                scene, cam, wg, hg, spp, key, opts, return_stats=True
+            )
+            diff = np.abs(np.asarray(img_p, np.float64) - golden)
+            n_nan = int(np.isnan(diff).sum())
+            mad = float(np.nanmean(diff))
+            result["convergence_mad_vs_golden"] = round(mad, 6)
+            result["convergence_nan_px"] = n_nan
+            print(
+                f"convergence: pallas(rr{rr}) vs stored jnp(rr0) golden "
+                f"@ {spp} spp mean|Δ|={mad:.2e} (nan px: {n_nan})",
+                file=sys.stderr,
+            )
+        elif conv_mode:
             # device-side convergence check at the full benchmark spp:
             # the Pallas kernel (with the benchmark's RR setting) against
             # the independent jnp wavefront tracer under reference physics
@@ -350,7 +378,7 @@ def main() -> int:
             # the device watchdog budget, VERDICT r2 #6 — but ~30+ min on
             # one chip: a ground-truth capture, not a routine gate; see
             # scripts/capture_convergence.py / CONVERGENCE_r03.json).
-            if os.environ.get("BENCH_CONVERGENCE") == "full":
+            if conv_mode == "full":
                 wc, hc = w, h
             else:
                 wc, hc = min(w, 304), min(h, 200)

@@ -115,13 +115,15 @@ def _render_shard(
 
 def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
                         local_h, opts, interpret, g_full=None):
-    """Chunked Pallas band render for one rows-shard (shared by the offline
-    and progressive sharded paths). Constant-size chunks: the profile-sort
-    machinery lives outside shard_map, so shards render unsorted —
-    bitwise-equal to single-chip when spp_local fits one chunk (always
-    true for progressive 1-spp frames); beyond that the single-chip path
-    uses a different chunk schedule (pallas_kernel._chunk_schedule), so
-    parity holds up to f32 chunk-summation order only."""
+    """Chunked UNSORTED Pallas band render for one rows-shard (shared by
+    the offline and progressive sharded paths; the sorted machinery is
+    _pallas_band_sorted). Consumes the shared _chunk_schedule, so the
+    f32 per-pixel accumulation order matches the SORTED sharded render
+    exactly (bitwise) and matches the single-chip render whenever the
+    shard-local watchdog budget yields the same schedule (always for
+    progressive 1-spp frames, which fit one chunk; a shard's smaller
+    band can otherwise afford larger chunks — then parity holds up to
+    f32 chunk-grouping order only)."""
     from raytracer_tpu.render import pallas_kernel as pk
 
     row_offset = jax.lax.axis_index("rows") * local_h
@@ -570,12 +572,13 @@ def _make_sharded_step_fn_pallas(
     the fast kernel at any mesh size. Each 'rows' shard renders its band
     via the kernel's row-offset path and each 'spp' shard a disjoint global
     sample range, reproducing the exact single-chip RNG streams: a sharded
-    frame equals the single-chip Pallas frame (bitwise for a pure-rows
-    mesh when spp_local fits one launch — always true at the progressive
-    1-spp frame size; with an spp axis, to one psum's f32 summation order;
-    for multi-launch spp_local, to chunk-summation order — the shard body
-    chunks uniformly while single-chip uses _chunk_schedule). The
-    accumulation buffer stays row-sharded frame to frame."""
+    frame equals the single-chip Pallas frame bitwise for a pure-rows
+    mesh whenever the shard-local watchdog budget yields the single-chip
+    chunk schedule — always at the progressive 1-spp frame size (one
+    chunk); with an spp axis, to one psum's f32 summation order; for
+    multi-launch spp_local with a diverging schedule, to f32
+    chunk-grouping order. The accumulation buffer stays row-sharded
+    frame to frame."""
     import dataclasses
 
     from raytracer_tpu.render import pallas_kernel as pk

@@ -98,12 +98,15 @@ def make_step_fn(
         if split is not None:
             perm, g_full = split
 
-    if opts.sampler == "stratified" and opts.adaptive_tolerance > 0.0:
-        # adaptive frames stop pixels at different sample counts, so a
-        # uniform frame·spp base offset cannot describe where each pixel's
-        # R2 prefix resumes — fall back to the random sampler (the
-        # options.py sampler note documents this)
-        opts = dataclasses.replace(opts, sampler="random")
+    if opts.adaptive_tolerance > 0.0:
+        # progressive accumulation running-averages FIXED-spp frames;
+        # a per-frame adaptive render returns per-pixel means over
+        # VARYING sample counts, which the running average would weight
+        # as if uniform (biased), and stratified sessions additionally
+        # could not resume per-pixel R2 prefixes from a uniform frame·spp
+        # offset. Strip the tolerance — adaptive sampling is an OFFLINE
+        # mode (the CLI warns; same policy as the sharded step factory).
+        opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
     stratified = opts.sampler == "stratified"
 
     def step(

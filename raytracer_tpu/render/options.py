@@ -75,12 +75,12 @@ class TraceOptions:
     #: variance. Progressive steps hold the session key fixed and advance
     #: the absolute sample index by spp per frame, so an accumulation
     #: session walks each pixel's R2 sequence in order (every prefix
-    #: low-discrepancy) — except adaptive progressive, which strips
-    #: stratification (per-pixel stop counts cannot resume from a uniform
-    #: offset). The FIRST bounce's diffuse direction and glass roll are
-    #: stratified too (R2_ALPHAS_B0 — the dominant path-space dims,
-    #: measured 1.6-1.8x MSE cut on diffuse scenes); deeper bounces stay
-    #: random. Beyond the reference.
+    #: low-discrepancy). Progressive steps strip ``adaptive_tolerance``
+    #: (an offline mode — per-frame adaptive renders would be mis-weighted
+    #: by the running average) but keep the sampler. The FIRST bounce's
+    #: diffuse direction and glass roll are stratified too (R2_ALPHAS_B0 —
+    #: the dominant path-space dims, measured 1.4-2.4x MSE cut on diffuse
+    #: scenes); deeper bounces stay random. Beyond the reference.
     sampler: str = "random"
     #: static scene analysis for the Pallas scan: spheres that provably
     #: cannot contain a ray origin (not glass, no other sphere's surface

@@ -1875,7 +1875,7 @@ def _render_pallas(
         if not (isinstance(base_off, int) and base_off == 0):
             # adaptive renders stop pixels at DIFFERENT sample counts, so
             # a uniform base offset cannot describe where a later render
-            # would resume — the stratified progressive step strips
+            # would resume — the progressive step factory strips
             # adaptive_tolerance instead of passing an offset here
             raise ValueError(
                 "adaptive_tolerance requires sample_offset == 0 "

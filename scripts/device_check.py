@@ -82,17 +82,27 @@ def main() -> int:
         f"(mid nonzero: {n_mid}, lo nonzero: {n_lo}, exact-sum: {recon_ok})",
     )
 
-    # 2. split-scan bitwise parity (multi-chunk sorted, rr5, depth 20)
+    # 2. split-scan bitwise parity (rr5, depth 20). The chunk budget is
+    # FORCED down so 100 spp becomes a profile chunk + fused sorted scan
+    # ([18, 41, 41]) — the production layout for real 500-spp captures;
+    # at this crop's natural budget the whole render would fit one
+    # unsorted chunk and the gate would never exercise the sorted or
+    # fused-scan machinery against split_scan on/off.
     opts = TraceOptions(max_depth=20, russian_roulette_depth=5)
     key = jax.random.PRNGKey(11)
-    a, sa = pk.render_image_pallas(
-        scene, dcam, 256, 64, 100, key, opts, return_stats=True
-    )
-    b, sb = pk.render_image_pallas(
-        scene, dcam, 256, 64, 100, key,
-        dataclasses.replace(opts, split_scan=False), return_stats=True,
-    )
-    a, b = np.asarray(a), np.asarray(b)
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 37)
+        a, sa = pk.render_image_pallas(
+            scene, dcam, 256, 64, 100, key, opts, return_stats=True
+        )
+        b, sb = pk.render_image_pallas(
+            scene, dcam, 256, 64, 100, key,
+            dataclasses.replace(opts, split_scan=False), return_stats=True,
+        )
+        a, b = np.asarray(a), np.asarray(b)
+    finally:
+        pk._pick_chunk_spp = orig
     check(
         "split-scan", bool(np.array_equal(a, b)),
         f"(maxdiff {np.abs(a - b).max():.2e}, segs "

@@ -63,3 +63,24 @@ def test_pallas_statistically_matches_golden(name):
         )
     )
     assert np.abs(img - golden).mean() < 0.02
+
+
+def test_fullframe_ground_truth_integrity():
+    """The committed full-frame jnp rr0 ground truth (the reference image
+    BENCH_CONVERGENCE=golden and future regression rounds compare
+    against, written by scripts/capture_convergence.py) must stay a
+    plausible cover render: right shape/dtype, gamma-space range, no NaN
+    channels, and the recorded global statistics (a corrupted or
+    accidentally re-captured file fails here before it silently weakens
+    the device regression gate)."""
+    z = np.load(os.path.join(
+        GOLDEN_DIR, "cover_jnp_rr0_500spp_f16.npz"
+    ))
+    img = z["image"]
+    assert img.shape == (800, 1200, 3) and img.dtype == np.float16
+    assert int(np.isnan(img).sum()) == 0
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+    # captured stats (CONVERGENCE_r03 session): mean luminance of the
+    # cover scene's gamma image; generous band — catches wrong-scene /
+    # wrong-space / truncated captures, not MC noise
+    assert 0.55 < float(img.mean()) < 0.80, float(img.mean())

@@ -241,17 +241,21 @@ def test_stratified_frames_distinct_and_converge(key):
     assert diff < 0.02, diff
 
 
-def test_stratified_adaptive_falls_back_to_random(key):
-    """adaptive_tolerance + stratified: the step must strip the sampler
-    (uniform base offsets cannot resume per-pixel adaptive stop counts)
-    and behave exactly like the random-sampler step."""
+def test_progressive_strips_adaptive(key):
+    """adaptive_tolerance is an OFFLINE mode: per-frame adaptive renders
+    return per-pixel means over varying sample counts, which the running
+    average would weight as if uniform. The step must strip the tolerance
+    and behave exactly like the fixed-spp step — for BOTH samplers (the
+    stratified session keeps its sampler; only the tolerance drops)."""
     scene, cam = setup()
-    o_strat = TraceOptions(max_depth=4, sampler="stratified",
+    for sampler in ("random", "stratified"):
+        o_a = TraceOptions(max_depth=4, sampler=sampler,
                            adaptive_tolerance=0.05)
-    o_rand = TraceOptions(max_depth=4, sampler="random",
-                          adaptive_tolerance=0.05)
-    s1 = make_step_fn(W, H, spp=2, opts=o_strat)
-    s2 = make_step_fn(W, H, spp=2, opts=o_rand)
-    a, _ = run_frames(s1, init_render_state(W, H, key), scene, cam, 2)
-    b, _ = run_frames(s2, init_render_state(W, H, key), scene, cam, 2)
-    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+        o_f = TraceOptions(max_depth=4, sampler=sampler)
+        s1 = make_step_fn(W, H, spp=2, opts=o_a)
+        s2 = make_step_fn(W, H, spp=2, opts=o_f)
+        a, _ = run_frames(s1, init_render_state(W, H, key), scene, cam, 2)
+        b, _ = run_frames(s2, init_render_state(W, H, key), scene, cam, 2)
+        np.testing.assert_array_equal(
+            np.asarray(a.accum), np.asarray(b.accum), err_msg=sampler
+        )
