@@ -341,7 +341,16 @@ def main() -> int:
             )
 
         conv_mode = os.environ.get("BENCH_CONVERGENCE")
-        if conv_mode == "golden":
+        if conv_mode == "golden" and (config != "cover" or spp != 500):
+            # the committed golden IS the cover scene at 500 spp — a diff
+            # against any other config/spp would record a plausible-
+            # looking but meaningless number in the result JSON
+            print(
+                f"convergence: golden mode skipped — golden is "
+                f"cover@500spp, bench is {config}@{spp}spp",
+                file=sys.stderr,
+            )
+        elif conv_mode == "golden":
             # FULL-FRAME physics regression against the committed jnp rr0
             # ground truth (tests/goldens/, written by
             # scripts/capture_convergence.py): one fresh Pallas render vs

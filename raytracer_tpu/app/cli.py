@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="camera-sample sequencer: 'stratified' uses per-pixel "
         "low-discrepancy jitter/lens points (same distributions, lower "
         "variance; progressive sessions walk each pixel's sequence "
-        "across frames — incompatible with --adaptive there)",
+        "across frames). --adaptive is offline-only: progressive mode "
+        "strips the tolerance for EITHER sampler and renders fixed spp",
     )
     p.add_argument(
         "--book-physics",

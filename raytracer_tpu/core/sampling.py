@@ -145,8 +145,13 @@ R2_ALPHAS_B0 = (
 def alphas_fixed32(alphas) -> tuple:
     """Each alpha as a 32-bit fixed-point integer round(alpha·2^32) mod
     2^32 — the exact-arithmetic representation :func:`r2_point` and the
-    Pallas kernel share."""
-    return tuple(int(round(a * 2.0 ** 32)) & 0xFFFFFFFF for a in alphas)
+    Pallas kernel share. Rejects alphas whose fixed form is 0 (an alpha
+    within 2^-33 of 0 or 1 would wrap to a CONSTANT dim: every Kronecker
+    point equals the rotation — a silent never-explores bias)."""
+    fixed = tuple(int(round(a * 2.0 ** 32)) & 0xFFFFFFFF for a in alphas)
+    if any(f == 0 for f in fixed):
+        raise ValueError(f"degenerate fixed-point alpha in {alphas}")
+    return fixed
 
 
 def r2_point(cp, s, alphas=R2_ALPHAS_4D):

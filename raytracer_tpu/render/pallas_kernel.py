@@ -116,8 +116,12 @@ def _r2_fixed(pix, rot, d: int, s_u, a_fix: int):
     frac(cp + s·alpha) becomes (cp_fix + s·a_fix) mod 2^32 — exact for
     every sample index, where the f32 recurrence quantizes once s·alpha
     outgrows the 24-bit mantissa (a stratified progressive session's
-    draws would collapse onto ~128 levels by s ≈ 2^17). Mirrors
-    core/sampling.r2_point's arithmetic bit-for-bit in the top 24 bits."""
+    draws would collapse onto ~128 levels by s ≈ 2^17). Same fixed-point
+    construction as core/sampling.r2_point (alphas from the shared
+    alphas_fixed32), but NOT bitwise-comparable streams: the host zeroes
+    a rotation's low 8 bits (cp arrives as f32) while the kernel keeps
+    the hash's full 32, so low-bit carries into bit 8 can differ by one
+    2^-24 ulp — and the rotations themselves come from different RNGs."""
     x = _hash32(pix, rot, d) + s_u * jnp.uint32(a_fix)
     return _to_u01(x)
 
