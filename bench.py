@@ -138,6 +138,29 @@ def main() -> int:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
+    # hang watchdog: a wedged device tunnel makes backend init HANG (not
+    # error — observed: axon init blocking >4 h during an outage), which
+    # would leave the capture with no JSON line at all. Emit the failure
+    # line and hard-exit instead. Generous default — a fully-cold headline
+    # run is up to 4 remote compiles at 10 s-14 min each, and
+    # BENCH_CONVERGENCE=full adds ~30+ min.
+    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", "7200"))
+    if wd_s > 0:
+        import threading
+
+        def _hang_abort():
+            print(json.dumps({
+                "metric": "cover Mrays/sec/chip", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+                "error": f"watchdog: no result within {wd_s:.0f}s "
+                         "(device tunnel hang?)",
+            }), flush=True)
+            os._exit(3)
+
+        _wd = threading.Timer(wd_s, _hang_abort)
+        _wd.daemon = True
+        _wd.start()
+
     if config == "progressive":
         # BASELINE config 4 as the headline JSON line
         try:
