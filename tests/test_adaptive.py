@@ -188,6 +188,26 @@ def test_adaptive_sharded_rows_matches_single_chip(forced_chunks, key):
     np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
 
 
+def test_adaptive_sharded_single_chunk_strips(key):
+    # single-chunk budgets can't gate later chunks: the rows-mesh render
+    # must fall back to fixed-spp exactly (same gate as single-chip)
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded_pallas,
+    )
+
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    mesh = make_mesh((2,), ("rows",))
+    a = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, mesh,
+        TraceOptions(max_depth=3, adaptive_tolerance=0.05),
+    )
+    b = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, mesh, TraceOptions(max_depth=3),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adaptive_sharded_rows_deterministic(forced_chunks, key):
     from raytracer_tpu.parallel.sharding import (
         make_mesh,
