@@ -141,3 +141,26 @@ def test_unit_vector_from_uv_matches_reference_law(key):
     assert np.abs(p.mean(axis=0)).max() < 0.02
     hist, _ = np.histogram(p[:, 2], bins=10, range=(-1, 1))
     assert hist.min() > N / 10 * 0.85
+
+
+def test_r2_alpha_dims_jointly_equidistribute():
+    """All 7 stratified dims (4 camera + 3 bounce-0) share one Kronecker
+    index per pixel, so every PAIR of dims must jointly equidistribute —
+    a reused alpha makes the pair's difference constant mod 1 and biases
+    any integrand coupling the two dims (the rank-deficiency defect the
+    round-3 review caught: shared alphas left a non-decaying 6e-2 error;
+    scripts/probe_r2_alphas.py). Checks the fixed-point forms actually
+    consumed by both implementations, plus empirical cross-pair
+    integration of f(u,v)=[u<0.5]*v (truth 0.25) over every dim pair."""
+    alphas = sampling.alphas_fixed32(
+        sampling.R2_ALPHAS_4D + sampling.R2_ALPHAS_B0
+    )
+    assert len(set(alphas)) == len(alphas), "reused alpha: rank-deficient"
+    n = 1 << 14
+    s = np.arange(n, dtype=np.uint64)
+    dims = [((np.uint64(a) * s) % (1 << 32)) / float(1 << 32)
+            for a in alphas]
+    for i in range(len(dims)):
+        for j in range(i + 1, len(dims)):
+            est = float(((dims[i] < 0.5) * dims[j]).mean())
+            assert abs(est - 0.25) < 5e-3, (i, j, est)
