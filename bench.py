@@ -161,6 +161,35 @@ def main() -> int:
         _wd.daemon = True
         _wd.start()
 
+    # fast tunnel pre-probe: during an outage, backend init HANGS rather
+    # than errors, and the in-process watchdog above only fires after its
+    # full (deliberately generous) window. A SUBPROCESS probe detects the
+    # hang in minutes instead — the child inits the backend; if it can't
+    # answer within BENCH_PROBE_S (default 240 s ≫ healthy init ≈ 10-30 s;
+    # 0 disables), emit the failure line now. A probe that ERRORS quickly
+    # is deliberately ignored: the real run will surface the same error
+    # with full context. Sequential with the parent's own device use, so
+    # the one-TPU-process-at-a-time rule holds.
+    probe_s = float(os.environ.get("BENCH_PROBE_S", "240"))
+    if probe_s > 0:
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_s, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": "cover Mrays/sec/chip", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+                "error": f"tunnel probe hung >{probe_s:.0f}s "
+                         "(device tunnel outage)",
+            }), flush=True)
+            return 3
+
     if config == "progressive":
         # BASELINE config 4 as the headline JSON line
         try:
