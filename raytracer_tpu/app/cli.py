@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
         "on mean luminance is within TOL (relative); 0 = fixed spp",
     )
     p.add_argument(
+        "--spp-map",
+        default=None,
+        metavar="PATH",
+        help="with --adaptive: also save the per-pixel sample-density "
+        "heatmap (effective spp, normalized to its max) as a grayscale "
+        "PNG — shows where the adaptive sampler spent its budget",
+    )
+    p.add_argument(
         "--sampler",
         default="random",
         choices=("random", "stratified"),
@@ -135,6 +143,12 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.progressive_frames > 0:
+        if args.spp_map:
+            print(
+                "warning: --spp-map needs an adaptive batch render; "
+                "progressive mode renders fixed spp per frame — skipped",
+                file=sys.stderr,
+            )
         # scene and camera are fixed for the whole accumulation: hand the
         # factory concrete hints so the Pallas split-scan analysis runs
         step = make_step_fn(w, h, spp=spp, opts=opts,
@@ -153,6 +167,23 @@ def main(argv=None) -> int:
         if "mean_spp" in stats:
             print(f"adaptive: mean effective spp "
                   f"{float(stats['mean_spp']):.1f} of {spp}")
+        if args.spp_map:
+            if "spp_map" in stats:
+                from raytracer_tpu.app import io
+
+                m = np.asarray(stats["spp_map"], dtype=np.float32)
+                heat = m / max(float(m.max()), 1.0)
+                io.save_png(
+                    args.spp_map, np.repeat(heat[..., None], 3, axis=-1)
+                )
+                print(f"spp map -> {args.spp_map} "
+                      f"(min {m.min():.0f}, max {m.max():.0f} spp)")
+            else:
+                print(
+                    "warning: --spp-map needs an adaptive render "
+                    "(--adaptive TOL on the Pallas batch backend); skipped",
+                    file=sys.stderr,
+                )
     elapsed = time.perf_counter() - t0
 
     from raytracer_tpu.app import io

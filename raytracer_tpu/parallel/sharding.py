@@ -340,10 +340,10 @@ def render_image_sharded_pallas(
                 scene, dcam, seed, width, height, local_h,
                 opts, interpret, r_sub, k_slots, sizes_a, g_full=g_full,
             )
-            image, mean_spp = pk._finalize_adaptive(
+            image, mean_spp, spp_map = pk._finalize_adaptive(
                 acc, width, local_h, opts.gamma, r_sub, k_slots
             )
-            return image, segments[None], mean_spp[None]
+            return image, segments[None], mean_spp[None], spp_map
         if use_sorted:
             acc, segments = _pallas_band_sorted(
                 scene, dcam, seed, samp0, spp_local, width, height,
@@ -367,7 +367,9 @@ def render_image_sharded_pallas(
 
     out_specs = (P("rows", None, None), P("rows"))
     if use_adaptive:
-        out_specs += (P("rows"),)  # per-band mean effective spp
+        # per-band mean effective spp + the (H, W) sample-density map,
+        # row-sharded exactly like the image
+        out_specs += (P("rows"), P("rows", None))
     fn = shard_map(
         shard_body,
         mesh=mesh,
@@ -383,6 +385,7 @@ def render_image_sharded_pallas(
         if use_adaptive:
             # equal band heights ⇒ the mean of per-band means is exact
             stats["mean_spp"] = jnp.mean(out[2])
+            stats["spp_map"] = out[3]
         return image, stats
     return image
 

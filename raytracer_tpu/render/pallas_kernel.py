@@ -1808,7 +1808,9 @@ def _render_adaptive_scan(
 def _finalize_adaptive(acc, width: int, height: int, gamma: bool,
                        r_sub: int, k_slots: int):
     """Per-pixel mean from (rgb sums, n): adaptive renders divide by the
-    pixel's OWN sample count. Returns (image, mean effective spp)."""
+    pixel's OWN sample count. Returns (image, mean effective spp,
+    per-pixel (H, W) sample-count map — the adaptive sample-density
+    heatmap surfaced as ``stats['spp_map']``)."""
     tiles_x = pl.cdiv(width, LANES)
     hp = pl.cdiv(height, k_slots * r_sub) * k_slots * r_sub
     n = jnp.maximum(acc[4], 1.0)
@@ -1820,7 +1822,7 @@ def _finalize_adaptive(acc, width: int, height: int, gamma: bool,
     if gamma:
         image = jnp.sqrt(jnp.maximum(image, 0.0))
     n_img = acc[4].reshape(hp, tiles_x * LANES)[:height, :width]
-    return image, jnp.mean(n_img)
+    return image, jnp.mean(n_img), n_img
 
 
 def _render_pallas(
@@ -1916,12 +1918,13 @@ def _render_pallas(
                 inv, pm, width, height, sizes_a[1], len(sizes_a) - 1,
                 opts, r_sub, interpret, k_slots, g_full,
             )
-            image, mean_spp = _finalize_adaptive(
+            image, mean_spp, spp_map = _finalize_adaptive(
                 acc, width, height, opts.gamma, r_sub, k_slots
             )
             if return_stats:
                 return image, {"segments": segments,
-                               "mean_spp": mean_spp}
+                               "mean_spp": mean_spp,
+                               "spp_map": spp_map}
             return image
     # the profile chunk runs UNSORTED (measured 75% tile utilization vs
     # 93-95% sorted on the cover scene), so keep it short — roughly half

@@ -222,6 +222,40 @@ def test_adaptive_sharded_rows_deterministic(forced_chunks, key):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_adaptive_spp_map(forced_chunks):
+    # the sample-density heatmap: per-pixel effective sample counts,
+    # consistent with the scalar mean and actually non-uniform once
+    # early termination engages
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    img, stats = _render(opts)
+    m = np.asarray(stats["spp_map"])
+    assert m.shape == (H, W)
+    np.testing.assert_array_equal(m, np.round(m))  # whole sample counts
+    assert m.min() >= 1.0 and m.max() <= 27.0
+    assert float(stats["mean_spp"]) == pytest.approx(m.mean(), rel=1e-6)
+    assert m.min() < m.max()  # some pixels stopped before others
+
+
+def test_adaptive_sharded_spp_map_matches_single_chip(forced_chunks, key):
+    # the heatmap rides the rows mesh exactly like the image: per-band
+    # maps concatenate to the single-chip map bitwise
+    from raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded_pallas,
+    )
+
+    opts = TraceOptions(max_depth=4, adaptive_tolerance=0.05)
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    _, stats_s = render_image_sharded_pallas(
+        scene, cam, W, H, 27, key, make_mesh((2,), ("rows",)), opts,
+        return_stats=True,
+    )
+    _, stats_1 = _render(opts, spp=27, key=key)
+    np.testing.assert_array_equal(
+        np.asarray(stats_s["spp_map"]), np.asarray(stats_1["spp_map"])
+    )
+
+
 def test_adaptive_chunk_override(forced_chunks):
     # adaptive_chunk_spp overrides the auto half-budget chunk but stays
     # capped by the watchdog budget (_pick_chunk_spp -> 3 here)

@@ -68,6 +68,42 @@ def test_cli_book_physics(tmp_path):
     assert a.astype(int).sum() > b.astype(int).sum()
 
 
+def test_cli_adaptive_spp_map(tmp_path, monkeypatch):
+    """--spp-map saves the adaptive sample-density heatmap next to the
+    render (forced multi-chunk schedule so early termination engages at
+    test scale)."""
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp",
+                        lambda spp, *a, **k: min(spp, 3))
+    monkeypatch.setattr(pk, "ADAPTIVE_MIN_N", 4)
+    out, mp = str(tmp_path / "r.png"), str(tmp_path / "m.png")
+    rc = main([
+        "--config", "two_sphere", "--width", "128", "--height", "32",
+        "--spp", "27", "--max-depth", "4", "--backend", "pallas",
+        "--adaptive", "0.05", "--spp-map", mp, "--out", out,
+    ])
+    assert rc == 0
+    heat = io.decode_png(open(mp, "rb").read())
+    assert heat.shape == (32, 128, 3)
+    assert heat.max() == 255  # normalized to the busiest pixel
+    assert heat.min() < heat.max()  # density actually varies
+
+
+def test_cli_spp_map_warns_without_adaptive(tmp_path, capsys):
+    out, mp = str(tmp_path / "r.png"), str(tmp_path / "m.png")
+    rc = main([
+        "--config", "two_sphere", "--width", "48", "--height", "27",
+        "--spp", "2", "--max-depth", "3", "--backend", "jnp",
+        "--spp-map", mp, "--out", out,
+    ])
+    assert rc == 0
+    assert "spp-map" in capsys.readouterr().err
+    import os
+
+    assert not os.path.exists(mp)
+
+
 def test_cli_stratified_sampler(tmp_path):
     """--sampler stratified plumbs through to a different (but valid)
     render than the random default."""
