@@ -1693,6 +1693,52 @@ def _render_chunks_scan(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "width", "height", "cs", "n", "opts", "r_sub", "interpret",
+        "k_slots", "g_full",
+    ),
+    donate_argnums=(4,),
+)
+def _render_chunks_scan_unsorted(
+    scene: Scene,
+    dcam: DerivedCamera,
+    seed,
+    chunk0,
+    acc,
+    width: int,
+    height: int,
+    cs: int,
+    n: int,
+    opts: TraceOptions,
+    r_sub: int,
+    interpret: bool,
+    k_slots: int,
+    g_full: int | None,
+    debug=None,
+):
+    """ALL n uniform unsorted chunks in one device program — the
+    sort_pixels-off / enable_debug analog of :func:`_render_chunks_scan`
+    (offline debug renders pay the same ~50-90 ms/dispatch tunnel
+    latency the sorted path stopped paying). The scan body renders a
+    chunk and folds its tile sums with the same elementwise ``acc + out``
+    the chunk-at-a-time loop used, in the same order, so images are
+    bitwise-equal; both paths consume the same ``_chunk_schedule``, so
+    sorted/unsorted bitwise equality is preserved too. ``chunk0`` is the
+    traced base sample offset of the first scanned chunk."""
+
+    def body(acc, i):
+        out = _render_chunk_impl(
+            scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
+            r_sub, interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+        )
+        return acc + out, None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n, dtype=jnp.int32))
+    return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
         "k_slots", "g_full", "cs_next", "local_height",
     ),
@@ -1935,19 +1981,30 @@ def _render_pallas(
     sizes, uniform = _chunk_schedule(spp, chunk)
     chunk0 = sizes[0]
     if spp <= chunk or not opts.sort_pixels:
-        acc = None
-        offset = 0
-        for cs in sizes:
-            # same chunk schedule as the sorted path so sorted and
-            # unsorted renders accumulate per-pixel sums in identical
-            # order — bitwise-equal images
-            out = _render_chunk(
-                scene, dcam, seed, base_off + offset, width, height, cs,
-                opts, r_sub, interpret, k_slots=k_slots, g_full=g_full,
-                debug=debug,
+        # same chunk schedule as the sorted path so sorted and unsorted
+        # renders accumulate per-pixel sums in identical order —
+        # bitwise-equal images
+        acc = _render_chunk(
+            scene, dcam, seed, base_off, width, height, sizes[0], opts,
+            r_sub, interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+        )
+        if uniform and len(sizes) > 1:
+            # whole remaining run = ONE device program
+            acc = _render_chunks_scan_unsorted(
+                scene, dcam, seed, jnp.int32(sizes[0]) + base_off, acc,
+                width, height, sizes[1], len(sizes) - 1, opts, r_sub,
+                interpret, k_slots, g_full, debug=debug,
             )
-            acc = out if acc is None else acc + out
-            offset += cs
+        else:
+            offset = sizes[0]
+            for cs in sizes[1:]:
+                out = _render_chunk(
+                    scene, dcam, seed, base_off + offset, width, height,
+                    cs, opts, r_sub, interpret, k_slots=k_slots,
+                    g_full=g_full, debug=debug,
+                )
+                acc = acc + out
+                offset += cs
         image, segments = _finalize(acc, width, height, spp, opts.gamma,
                                     r_sub, k_slots)
         if return_stats:

@@ -152,6 +152,25 @@ def main() -> int:
     sh_max = float(np.abs(img_sh - img_1c).max())
     check("sharded-sorted", sh_max < 1e-6, f"(maxdiff {sh_max:.2e})")
 
+    # 3c. UNSORTED fused chunk scan on hardware (the sort_pixels-off /
+    # enable_debug dispatch path): forced multi-chunk so the uniform
+    # schedule engages _render_chunks_scan_unsorted, which must stay
+    # bitwise-equal to the sorted render (shared _chunk_schedule ⇒
+    # identical per-pixel accumulation order).
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 3)
+        img_uns = np.asarray(pk.render_image_pallas(
+            scene, dcam, 256, 64, 10, k7,
+            dataclasses.replace(opts8, sort_pixels=False),
+        ))
+    finally:
+        pk._pick_chunk_spp = orig
+    check(
+        "unsorted-fused-scan", bool(np.array_equal(img_uns, imgs[1])),
+        f"(maxdiff {np.abs(img_uns - imgs[1]).max():.2e})",
+    )
+
     # 4. device physics vs the independent jnp tracer (statistical — the
     # functional net for sqrt(negative)/poison-sentinel regressions).
     # SAME physics both sides (rr0) at 32 spp: measured noise floor on

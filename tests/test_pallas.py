@@ -284,6 +284,41 @@ def test_sorted_multichunk_bitwise_equals_unsorted(monkeypatch):
     assert float(sa["segments"]) == float(sb["segments"])
 
 
+def test_unsorted_fused_scan_bitwise_equals_loop(monkeypatch):
+    """The unsorted fused chunk scan (one device program for all uniform
+    chunks — the enable_debug / sort_pixels-off analog of the sorted
+    fusion) must reproduce the chunk-at-a-time loop bit-for-bit. The
+    loop path is reconstructed by forcing uniform=False on the SAME
+    schedule; enable_debug is on so the debug-overlay closure is
+    exercised inside the lax.scan body."""
+    from raytracer_tpu.render.options import DebugParams
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda spp, *a, **k: min(spp, 3))
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    dcam = derive_camera(cam)
+    opts = TraceOptions(max_depth=4, enable_debug=True)
+    debug = DebugParams(
+        cursor_point=jnp.asarray([0.0, 0.0, -0.5], jnp.float32),
+        selected_object=jnp.asarray(0, jnp.int32),
+    )
+    key = jax.random.PRNGKey(5)
+    sizes, uniform = pk._chunk_schedule(10, 3)
+    assert uniform and len(sizes) > 2  # the fused path really engages
+    a, sa = pk.render_image_pallas(
+        scene, dcam, W, H, 10, key, opts, debug, return_stats=True
+    )
+    orig_sched = pk._chunk_schedule
+    monkeypatch.setattr(
+        pk, "_chunk_schedule",
+        lambda spp, chunk: (orig_sched(spp, chunk)[0], False),
+    )
+    b, sb = pk.render_image_pallas(
+        scene, dcam, W, H, 10, key, opts, debug, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["segments"]) == float(sb["segments"])
+
+
 def test_chunk_schedule_invariants():
     """The shared launch schedule: sizes sum to spp, the profile chunk is
     bounded by the base budget, sorted chunks by 2x; uniform schedules
