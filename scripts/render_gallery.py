@@ -38,8 +38,37 @@ JOBS = [
     ("three_sphere", 256, 0),
     ("dof", 256, 0),
     ("demo", 256, 0),
+    # the reference gallery's headline image (images/14.png): the RTiOW
+    # cover scene at the full BASELINE spp
+    ("cover", 500, 5),
 ]
 AOVS = ["normal", "depth", "uuid", "front"]
+
+
+def render_adaptive_heatmap(key):
+    """Cover at the <2 s adaptive configuration (tol 0.2, stratified) +
+    its per-pixel sample-density heatmap — the visual receipt for the
+    adaptive sampler's budget allocation (stats['spp_map'] /
+    CLI --spp-map)."""
+    scene, cam, w, h, _, depth = presets.get_config("cover")
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        backend="pallas", sampler="stratified",
+                        adaptive_tolerance=0.2)
+    t0 = time.perf_counter()
+    img, stats = render_image(scene, cam, w, h, 500, key, opts,
+                              return_stats=True)
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+    path = _os.path.join(OUT, f"cover_adaptive_tol0.2_{w}x{h}.png")
+    io.save_png(path, img)
+    print(f"cover adaptive: {dt:.1f}s mean_spp="
+          f"{float(stats.get('mean_spp', 500)):.0f} -> {path}", flush=True)
+    if "spp_map" in stats:
+        m = np.asarray(stats["spp_map"], dtype=np.float32)
+        heat = m / max(float(m.max()), 1.0)
+        hpath = _os.path.join(OUT, f"cover_adaptive_sppmap_{w}x{h}.png")
+        io.save_png(hpath, np.repeat(heat[..., None], 3, axis=-1))
+        print(f"cover spp map (max {m.max():.0f}) -> {hpath}", flush=True)
 
 
 def main(only=None):
@@ -64,6 +93,8 @@ def main(only=None):
             path = _os.path.join(OUT, f"aov_{aov}_{w}x{h}.png")
             io.save_png(path, img)
             print(f"aov {aov} -> {path}", flush=True)
+    if only in (None, "adaptive"):
+        render_adaptive_heatmap(key)
 
 
 if __name__ == "__main__":

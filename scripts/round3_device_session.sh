@@ -63,4 +63,16 @@ if [ "${R3_SKIP_MATRIX:-0}" != "1" ]; then
   fi
 fi
 
+if [ "${R3_GALLERY:-0}" = "1" ]; then
+  echo "== step 5 (opt): refresh gallery (cover + adaptive heatmap) =="
+  if ! timeout 3600 python scripts/render_gallery.py cover \
+      > "$LOG/gallery.log" 2>&1 \
+      || ! timeout 3600 python scripts/render_gallery.py adaptive \
+      >> "$LOG/gallery.log" 2>&1; then
+    echo "gallery refresh failed (non-fatal); see $LOG/gallery.log"
+  else
+    tail -4 "$LOG/gallery.log"
+  fi
+fi
+
 echo "== done; logs in $LOG =="
