@@ -93,6 +93,35 @@ def test_r2_point_range_and_rotation(key):
     )
 
 
+def test_r2_point_exact_at_large_sample_index(key):
+    """Regression for the review-found f32 recurrence freeze: frac(cp +
+    s·alpha) in f32 quantizes once s·alpha outgrows the 24-bit mantissa
+    (by s≈2^17 draws collapse onto ~128 levels and a progressive session
+    stops converging). The fixed-point form must stay exact far beyond
+    that: at s ~ 2^25, consecutive draws still step by exactly alpha
+    (mod 1, to the 24-bit output quantum) and a window of draws stays
+    fully distinct per dim."""
+    cp = jax.random.uniform(key, (1, 4), jnp.float32)
+    s0 = 1 << 25
+    p0 = np.asarray(sampling.r2_point(cp, s0), np.float64)[0]
+    p1 = np.asarray(sampling.r2_point(cp, s0 + 1), np.float64)[0]
+    step = (p1 - p0) % 1.0
+    expect = [a / 2.0 ** 32 for a in
+              sampling.alphas_fixed32(sampling.R2_ALPHAS_4D)]
+    np.testing.assert_allclose(step, expect, atol=2.0 ** -23)
+    # a 256-draw window deep into the sequence: every dim's draws are
+    # pairwise distinct (the frozen recurrence repeats values) and span
+    # the unit interval
+    win = np.asarray(
+        sampling.r2_point(cp, s0 + jnp.arange(256)[:, None]), np.float64
+    )[:, 0, :]
+    assert win.shape == (256, 4)
+    for d in range(4):
+        vals = win[:, d]
+        assert len(np.unique(vals)) == 256, f"dim {d} collapsed"
+        assert vals.min() < 0.1 and vals.max() > 0.9
+
+
 def test_r2_prefix_stratification():
     """Every prefix of the per-pixel sequence must out-spread random points:
     the 2-D jitter projection's min pairwise distance beats random's (that
