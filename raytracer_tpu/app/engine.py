@@ -97,6 +97,12 @@ class Engine:
         self._save_path: Optional[str] = None
 
     _SEG_FOLD_FRAMES = 64
+    #: LRU bound on compiled step functions. Each (w, h, spp, depth, flags)
+    #: combination holds a compiled XLA executable; an interactive session
+    #: with many resizes would otherwise grow without bound (VERDICT r3).
+    #: 8 covers pause/unpause (spp floor swap), a debug toggle, and a few
+    #: live window sizes without ever re-compiling in steady state.
+    _STEP_CACHE_MAX = 8
 
     @property
     def total_segments(self) -> float:
@@ -112,7 +118,11 @@ class Engine:
         key = (self.app.width, self.app.height, spp, self.app.max_depth,
                self.app.should_average, self.app.enable_debugging,
                self.app.last_frame_weight, self.app.max_render_count)
-        if key not in self._step_cache:
+        if key in self._step_cache:
+            # LRU refresh: dicts iterate in insertion order, so re-insert
+            # on hit and evict the stalest entry on overflow
+            self._step_cache[key] = self._step_cache.pop(key)
+        else:
             opts = TraceOptions(
                 max_depth=self.app.max_depth,
                 enable_debug=self.app.enable_debugging,
@@ -130,6 +140,8 @@ class Engine:
                 last_frame_weight=self.app.last_frame_weight,
                 max_render_count=self.app.max_render_count,
             )
+            while len(self._step_cache) > self._STEP_CACHE_MAX:
+                self._step_cache.pop(next(iter(self._step_cache)))
         return self._step_cache[key]
 
     def _debug_params(self) -> DebugParams:

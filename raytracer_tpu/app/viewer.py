@@ -5,10 +5,23 @@ terminal, rendering the progressive accumulation buffer as ANSI truecolor
 half-block characters (two pixels per character cell):
 
     w/a/s/d     fly (src/state.rs:411-441)         i/j/k/l   look (mouse-look analog)
-    e/c         up/down (space/shift analog)       +/-       fov zoom (wheel analog)
-    p           pause/resume (Escape analog)       x         save PNG ("Save Image")
-    r           reset scene ("Reset")              g         toggle debug overlay
-    q           quit
+    e/c         up/down (space/shift analog)       arrows    look (same steps)
+    p / Esc     pause/resume (Escape analog)       +/-       fov zoom (wheel analog)
+    r           reset scene ("Reset")              x         save PNG ("Save Image")
+    g           toggle debug overlay               q         quit
+
+Two deliberate divergences from the browser (both raw-terminal
+constraints, not omissions — see src/dom.rs:48-114):
+
+* **Held keys.** The reference gets keydown/keyup pairs and moves while
+  a key is down. Raw terminals deliver only key *repeats*, so each
+  movement keypress arms a 200 ms hold window (``KEY_HOLD_MS``) that the
+  OS repeat rate (typically 30–60 ms once repeating) keeps refreshed —
+  holding a key moves continuously, releasing stops within 200 ms.
+* **Mouse look.** There is no pointer-lock in a terminal; continuous
+  mouse deltas (src/dom.rs:105-114) become discrete i/j/k/l or
+  arrow-key steps of ``LOOK_STEP`` "pixels" through the same
+  ``Engine.handle_mouse_move`` path the reference's handler feeds.
 
 The frame loop is exactly the Engine tick (trace 1 spp → accumulate →
 display), i.e. the rAF loop of src/lib.rs:61-107 driven by a terminal clock.
@@ -94,6 +107,52 @@ class _RawTerminal:
 #: key → engine action (held-key semantics approximated by a decay window)
 MOVE_KEYS = {"w": "w", "a": "a", "s": "s", "d": "d", "e": "space", "c": "shift"}
 LOOK_STEP = 15.0  # "mouse" movement units per keypress
+#: keydown→keyup approximation: each movement keypress holds the key this
+#: long; OS key-repeat refreshes the window while physically held
+KEY_HOLD_MS = 200.0
+
+#: terminal arrow keys arrive as CSI (\x1b[A..D) or SS3 (\x1bOA..OD)
+#: escape sequences depending on the terminal's cursor-key mode
+_ARROW_SEQS = {
+    "[A": "up", "[B": "down", "[C": "right", "[D": "left",
+    "OA": "up", "OB": "down", "OC": "right", "OD": "left",
+}
+_LOOK_TOKENS = {  # token → (dx, dy) mouse-move analog
+    "i": (0.0, -LOOK_STEP), "up": (0.0, -LOOK_STEP),
+    "k": (0.0, +LOOK_STEP), "down": (0.0, +LOOK_STEP),
+    "j": (-LOOK_STEP, 0.0), "left": (-LOOK_STEP, 0.0),
+    "l": (+LOOK_STEP, 0.0), "right": (+LOOK_STEP, 0.0),
+}
+
+
+def parse_keys(chars: list[str], pending: str = "") -> tuple[list[str], str]:
+    """Raw char stream → key tokens, decoding arrow escape sequences.
+
+    Returns ``(tokens, pending)``: ``pending`` carries an incomplete
+    trailing escape sequence into the next drain (sequences can split
+    across reads). A lone ESC (the Escape key, src/dom.rs:62-65) stays
+    pending until the caller sees a drain with no new input and flushes
+    it — that's how terminals disambiguate Esc from Esc-prefixed keys.
+    """
+    buf = pending + "".join(chars)
+    tokens: list[str] = []
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "\x1b":
+            seq = buf[i + 1:i + 3]
+            if len(seq) < 2 and (not seq or seq in ("[", "O")):
+                return tokens, buf[i:]  # maybe incomplete — hold it
+            if seq in _ARROW_SEQS:
+                tokens.append(_ARROW_SEQS[seq])
+                i += 3
+                continue
+            tokens.append("escape")  # ESC followed by a non-arrow key
+            i += 1
+            continue
+        tokens.append(c)
+        i += 1
+    return tokens, ""
 
 
 def run_viewer(
@@ -112,6 +171,7 @@ def run_viewer(
     engine.set_paused(False)
 
     held: dict = {}
+    pending = ""
     frame = 0
     out = sys.stdout
     with _RawTerminal() as term:
@@ -119,11 +179,21 @@ def run_viewer(
         try:
             while max_frames is None or frame < max_frames:
                 now = time.monotonic() * 1000.0
-                for k in term.read_keys():
+                raw = term.read_keys()
+                tokens, pending = parse_keys(raw, pending)
+                if not raw and pending == "\x1b":
+                    # a whole frame passed with nothing after ESC: it was
+                    # the Escape key itself, not a sequence prefix
+                    tokens.append("escape")
+                    pending = ""
+                for k in tokens:
                     if k == "q":
                         return frame
                     elif k == "p":
                         engine.set_paused(not engine.app.is_paused)
+                    elif k == "escape":
+                        # Escape pauses, never resumes (src/dom.rs:62-65)
+                        engine.handle_key("escape", True)
                     elif k == "r":
                         engine.reset()
                     elif k == "x":
@@ -140,16 +210,10 @@ def run_viewer(
                         engine.handle_wheel(-1.0)
                     elif k == "-":
                         engine.handle_wheel(+1.0)
-                    elif k == "i":
-                        engine.handle_mouse_move(0.0, -LOOK_STEP)
-                    elif k == "k":
-                        engine.handle_mouse_move(0.0, +LOOK_STEP)
-                    elif k == "j":
-                        engine.handle_mouse_move(-LOOK_STEP, 0.0)
-                    elif k == "l":
-                        engine.handle_mouse_move(+LOOK_STEP, 0.0)
+                    elif k in _LOOK_TOKENS:
+                        engine.handle_mouse_move(*_LOOK_TOKENS[k])
                     elif k in MOVE_KEYS:
-                        held[MOVE_KEYS[k]] = now + 200.0  # hold for 200 ms
+                        held[MOVE_KEYS[k]] = now + KEY_HOLD_MS
 
                 for name, until in list(held.items()):
                     engine.handle_key(name, now < until)
@@ -169,7 +233,7 @@ def run_viewer(
                 if fps is not None:
                     status += f"{fps:5.1f} fps "
                 status += (
-                    "(wasd/ec move, ijkl look, +/- zoom, p pause, "
+                    "(wasd/ec move, ijkl/arrows look, +/- zoom, p pause, "
                     "g debug, x save, q quit)"
                 )
                 out.write(status + "\x1b[K")

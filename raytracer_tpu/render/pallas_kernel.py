@@ -54,6 +54,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1464,10 +1465,16 @@ ADAPTIVE_ABS_FLOOR = 0.02
 #: (dof = n_c - 1); n_c < 3 can't form a CI (entry inf), n_c > 16
 #: clamps to the last entry (conservative — t keeps shrinking toward
 #: 1.96). Used by the between-chunk-mean variance estimator below.
-_T975_BY_CHUNKS = jnp.asarray(
-    [jnp.inf, jnp.inf, jnp.inf, 4.303, 3.182, 2.776, 2.571, 2.447,
+#: Plain numpy on purpose: a module-level jnp constant would force JAX
+#: backend init at import time (sitecustomize registers the TPU tunnel
+#: in every process, so importing this module could dial — or, during
+#: an outage, hang on — the device, and would pin the constant to
+#: whatever backend was live at import). jnp.take converts it at trace
+#: time inside jit with no import-time device allocation.
+_T975_BY_CHUNKS = np.asarray(
+    [np.inf, np.inf, np.inf, 4.303, 3.182, 2.776, 2.571, 2.447,
      2.365, 2.306, 2.262, 2.228, 2.201, 2.179, 2.160, 2.145, 2.131],
-    jnp.float32,
+    np.float32,
 )
 
 

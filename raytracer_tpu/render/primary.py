@@ -144,8 +144,10 @@ def candidate_windows(
 
 
 def window_stats(windows):
-    sizes = np.array([len(w) for w in windows if len(w) >= 0])
-    nz = sizes[sizes > 0] if (sizes > 0).any() else sizes
+    sizes = np.array([len(w) for w in windows], np.int64)
+    if len(sizes) == 0 or not (sizes > 0).any():
+        return {"n": len(windows), "mean": 0.0, "p50": 0.0, "p90": 0.0, "max": 0}
+    nz = sizes[sizes > 0]
     return {
         "n": len(windows),
         "mean": float(nz.mean()),

@@ -23,7 +23,13 @@ import time
 log = logging.getLogger(__name__)
 
 #: substrings identifying faults worth retrying (worker crash/restart or
-#: transient unavailability) — anything else re-raises immediately
+#: transient unavailability) — anything else re-raises immediately.
+#: MAINTENANCE RISK: this is substring matching against jaxlib error text
+#: (no structured error codes are exposed at the Python layer); a jaxlib
+#: upgrade that rewords these messages silently turns retries OFF (fail
+#: closed: unknown faults re-raise, never loop). Re-validate against a
+#: real fault after each jaxlib bump — tests/test_resilience.py pins the
+#: matched/unmatched split but cannot pin jaxlib's wording.
 _RETRYABLE = ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED")
 
 

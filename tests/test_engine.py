@@ -208,3 +208,21 @@ def test_debug_toggle_resets_accumulation():
     assert e.app.render_count == n
     e.set_debugging(False)
     assert e.app.render_count == 0
+
+
+def test_step_cache_is_lru_bounded():
+    """_step_cache must not grow without bound across resizes (VERDICT r3):
+    it evicts least-recently-used beyond _STEP_CACHE_MAX, and a hit
+    refreshes recency. Uses _step_fn directly (no compile: make_step_fn is
+    lazy until called)."""
+    e = make_engine()
+    cap = Engine._STEP_CACHE_MAX
+    for i in range(cap + 4):
+        e.app.width = W + i  # fake resize: new static key
+        e._step_fn(1)
+    assert len(e._step_cache) == cap
+    oldest_live = next(iter(e._step_cache))
+    e.app.width = oldest_live[0]
+    e._step_fn(1)  # hit → moves to most-recent
+    assert next(iter(e._step_cache)) != oldest_live
+    assert len(e._step_cache) == cap

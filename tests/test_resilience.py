@@ -40,6 +40,30 @@ def test_retry_reraises_non_fault_errors():
         broken()
 
 
+def test_unknown_runtime_error_reraises_immediately(monkeypatch):
+    """An XlaRuntimeError whose message matches no _RETRYABLE tag must
+    re-raise on the first attempt with zero sleeps — the substring table
+    fails CLOSED (see resilience._RETRYABLE maintenance note)."""
+    sleeps = []
+    monkeypatch.setattr(resilience.time, "sleep", sleeps.append)
+    calls = []
+
+    class FakeXla(Exception):
+        pass
+
+    FakeXla.__name__ = "XlaRuntimeError"
+
+    @resilience.retry_on_device_fault(retries=3, delay_s=10.0)
+    def reworded():
+        calls.append(1)
+        raise FakeXla("INTERNAL: some future jaxlib wording we don't know")
+
+    with pytest.raises(FakeXla):
+        reworded()
+    assert len(calls) == 1
+    assert sleeps == []
+
+
 def test_retry_gives_up_after_budget():
     calls = []
 

@@ -101,3 +101,45 @@ def test_native_ansi_matches_python():
         finally:
             native.LIB = orig
         assert got == want, (h, w, cols)
+
+
+def test_parse_keys_plain_chars_pass_through():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    tokens, pending = parse_keys(list("wasd+x"))
+    assert tokens == ["w", "a", "s", "d", "+", "x"]
+    assert pending == ""
+
+
+def test_parse_keys_decodes_arrow_sequences():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    # CSI form (normal cursor-key mode) and SS3 form (application mode)
+    tokens, pending = parse_keys(list("\x1b[A\x1b[Bw\x1bOC\x1b[D"))
+    assert tokens == ["up", "down", "w", "right", "left"]
+    assert pending == ""
+
+
+def test_parse_keys_holds_split_sequence_across_drains():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    # sequence split across two reads: nothing emitted early, then the
+    # arrow comes out whole
+    tokens, pending = parse_keys(["\x1b", "["])
+    assert tokens == []
+    assert pending == "\x1b["
+    tokens, pending = parse_keys(["A", "w"], pending)
+    assert tokens == ["up", "w"]
+    assert pending == ""
+
+
+def test_parse_keys_lone_escape_stays_pending_then_flushable():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    tokens, pending = parse_keys(["\x1b"])
+    assert tokens == []
+    assert pending == "\x1b"  # run loop flushes this as Escape after a
+    # frame with no further input (Esc vs Esc-prefixed disambiguation)
+    tokens, pending = parse_keys(["\x1b", "q"])  # ESC then non-arrow
+    assert tokens == ["escape", "q"]
+    assert pending == ""
