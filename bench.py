@@ -427,6 +427,24 @@ def main() -> int:
                 f"@ {spp} spp mean|Δ|={mad:.2e} (nan px: {n_nan})",
                 file=sys.stderr,
             )
+            # ABSOLUTE certification of the adaptive companion (VERDICT r3
+            # #3): adaptive_mad_vs_fixed above isolates early-termination
+            # error against the SAME sampler's fixed render; this gates the
+            # adaptive image against the independent jnp rr0 ground truth,
+            # so the "<2 s converged" claim stands on the committed golden,
+            # not on a same-family reference. Expected ≈ fixed-vs-golden
+            # mad + adaptive error (~4.3e-3 + 4-7e-3 at tol 0.2).
+            if tol > 0.0 and best_img is not None \
+                    and best_img.shape == golden.shape:
+                mad_ag = float(np.nanmean(np.abs(
+                    best_img.astype(np.float64) - golden
+                )))
+                result["adaptive_golden_mad"] = round(mad_ag, 6)
+                print(
+                    f"convergence: adaptive(tol={tol}, {sampler_a}) vs "
+                    f"stored jnp(rr0) golden mean|Δ|={mad_ag:.2e}",
+                    file=sys.stderr,
+                )
         elif conv_mode:
             # device-side convergence check at the full benchmark spp:
             # the Pallas kernel (with the benchmark's RR setting) against

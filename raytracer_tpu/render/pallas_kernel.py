@@ -1499,6 +1499,20 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     random sampler keeps the exact per-sample CI alone: min-ing two
     independent estimates of the SAME quantity would systematically
     select the underestimate (anti-conservative coverage).
+
+    Known approximation (ADVICE r3): the t-CI treats chunk means as iid,
+    but per pixel every chunk derives from ONE Cranley-Patterson rotation
+    (the only randomness), so chunk means are dependent and the rule can
+    undercover beyond the usual sequential-stopping bias. This is
+    accepted rather than fixed because the alternative — an independent
+    rotation per chunk — re-randomizes exactly the structure that makes
+    stratification converge (chunks would become plain jittered batches
+    and the variance win shrinks back toward random). The realized error
+    is bounded EMPIRICALLY instead: the PERF.md adaptive × stratified
+    matrix measures mean|Δ| vs the same-sampler fixed render at each
+    tolerance, and bench's ``adaptive_golden_mad`` gates the tol-0.2
+    render against the absolute jnp rr0 golden — coverage is certified
+    by measurement, not by the iid assumption.
     Padding pixels (n == 0) count as converged so they keep packing
     last — along a lane's K slots budgets stay monotone non-increasing,
     which the kernel's single advance step relies on.
