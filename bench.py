@@ -55,7 +55,10 @@ def _bench_one(config, backend, repeats, spp_override=None):
     spp = spp_override or spp
     rr = int(os.environ.get("BENCH_RR", "5"))
     opts = TraceOptions(
-        max_depth=depth, backend=backend, russian_roulette_depth=rr
+        max_depth=depth, backend=backend, russian_roulette_depth=rr,
+        scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
+        cluster_scan=os.environ.get("BENCH_CLUSTER", "0") == "1",
+        cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
     )
     key = jax.random.PRNGKey(0)
 
@@ -259,6 +262,12 @@ def main() -> int:
         opts = TraceOptions(
             max_depth=depth, backend=backend, russian_roulette_depth=rr,
             sampler=os.environ.get("BENCH_SAMPLER", "random"),
+            # BENCH_SCAN_MXU=1 / BENCH_CLUSTER=1: scan variants, set
+            # by the device session when the A/B scripts
+            # (bench_scan_mxu.py / bench_cluster.py) print ADOPT
+            scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
+            cluster_scan=os.environ.get("BENCH_CLUSTER", "0") == "1",
+            cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
         )
         key = jax.random.PRNGKey(0)
 

@@ -86,6 +86,22 @@ def build_parser() -> argparse.ArgumentParser:
         "strips the tolerance for EITHER sampler and renders fixed spp",
     )
     p.add_argument(
+        "--scan-mxu",
+        action="store_true",
+        help="offload the closest-hit scan's per-sphere dot products to "
+        "the MXU (Pallas backend; faster on device, bf16-fuzzed candidate "
+        "ordering near exact ties — hit geometry stays exact f32)",
+    )
+    p.add_argument(
+        "--cluster-scan",
+        action="store_true",
+        help="gathered cluster scan (Pallas backend): grid-cell cluster "
+        "partition + per-lane Mosaic dynamic gather — bitwise-identical "
+        "images, work proportional to what each ray can hit instead of "
+        "the whole scene (falls back to the flat scan for scenes with "
+        "no small-sphere clusters)",
+    )
+    p.add_argument(
         "--book-physics",
         action="store_true",
         help="canonical RTiOW physics (black on depth exhaustion + near-zero "
@@ -114,6 +130,8 @@ def main(argv=None) -> int:
         russian_roulette_depth=args.russian_roulette,
         adaptive_tolerance=args.adaptive,
         sampler=args.sampler,
+        scan_mxu=args.scan_mxu,
+        cluster_scan=args.cluster_scan,
     )
     key = jax.random.PRNGKey(args.seed)
 

@@ -114,7 +114,8 @@ def _render_shard(
 
 
 def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
-                        local_h, opts, interpret, g_full=None):
+                        local_h, opts, interpret, g_full=None,
+                        caux=None, n_global=0):
     """Chunked UNSORTED Pallas band render for one rows-shard (shared by
     the offline and progressive sharded paths; the sorted machinery is
     _pallas_band_sorted). Consumes the shared _chunk_schedule, so the
@@ -141,7 +142,7 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
         out = pk._render_chunk(
             scene, dcam, seed, samp0 + offset, width, height, cs, opts,
             8, interpret, local_height=local_h, row_offset=row_offset,
-            g_full=g_full,
+            g_full=g_full, caux=caux, n_global=n_global,
         )
         acc = out if acc is None else acc + out
         offset += cs
@@ -150,7 +151,7 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
 
 def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
                         local_h, opts, interpret, r_sub, k_slots,
-                        g_full=None):
+                        g_full=None, caux=None, n_global=0):
     """Per-shard SORTED band render: the full single-chip machinery —
     profile chunk, profile-guided pixel sorting, K-slot virtual tiles,
     and the fused uniform-chunk lax.scan — run shard-locally (each shard
@@ -178,14 +179,14 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
     acc, segments, inv, pm = pk._render_chunk_profiled(
         scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
         k_slots, g_full, sample_offset=samp0, local_height=local_h,
-        row_offset=row_offset,
+        row_offset=row_offset, caux=caux, n_global=n_global,
     )
     if uniform and len(sizes) > 1:
         acc, segments = pk._render_chunks_scan(
             scene, dcam, seed, samp0 + chunk0, acc, segments, inv, pm,
             width, height, sizes[1], len(sizes) - 1, opts, r_sub,
             interpret, k_slots, g_full, local_height=local_h,
-            row_offset=row_offset,
+            row_offset=row_offset, caux=caux, n_global=n_global,
         )
     else:
         offset = chunk0
@@ -194,7 +195,7 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
                 scene, dcam, seed, samp0 + offset, acc, segments, inv, pm,
                 width, height, cs, opts, r_sub, interpret, k_slots,
                 offset + cs < spp_local, g_full, local_height=local_h,
-                row_offset=row_offset,
+                row_offset=row_offset, caux=caux, n_global=n_global,
             )
             offset += cs
     return acc, segments
@@ -202,7 +203,7 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
 
 def _pallas_band_adaptive(scene, dcam, seed, width, height,
                           local_h, opts, interpret, r_sub, k_slots,
-                          sizes_a, g_full=None):
+                          sizes_a, g_full=None, caux=None, n_global=0):
     """Per-shard ADAPTIVE band render: the single-chip adaptive drivers
     (profile chunk → fused re-planning lax.scan with per-pixel early
     termination, pallas_kernel._render_adaptive_profiled/_scan) run
@@ -220,13 +221,14 @@ def _pallas_band_adaptive(scene, dcam, seed, width, height,
     acc, segments, inv, pm = pk._render_adaptive_profiled(
         scene, dcam, seed, width, height, sizes_a[0], opts, r_sub,
         interpret, k_slots, g_full, cs_next=sizes_a[1],
-        local_height=local_h, row_offset=row_offset,
+        local_height=local_h, row_offset=row_offset, caux=caux,
+        n_global=n_global,
     )
     acc, segments = pk._render_adaptive_scan(
         scene, dcam, seed, jnp.int32(sizes_a[0]), acc, segments, inv, pm,
         width, height, sizes_a[1], len(sizes_a) - 1, opts, r_sub,
         interpret, k_slots, g_full, local_height=local_h,
-        row_offset=row_offset,
+        row_offset=row_offset, caux=caux, n_global=n_global,
     )
     return acc, segments
 
@@ -290,17 +292,36 @@ def render_image_sharded_pallas(
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
 
-    # static far-root analysis (the scene is concrete here, outside
-    # shard_map): same permutation + near-only suffix as the single-chip
-    # offline path (pallas_kernel._containable_split) — value-neutral
-    # sphere reordering, so shard/single-chip parity is unchanged
-    split = pk._containable_split(scene, dcam, opts)
-    if split is not None:
-        perm, g_full = split
-        if perm is not None:
-            scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
-    else:
+    # gathered cluster scan (round 4): the partition is host-built on the
+    # concrete scene here, exactly like the single-chip entry
+    # (pallas_kernel.render_image_pallas) — the reordered scene +
+    # replicated bounds/uuid tables ride into every shard, and the
+    # per-band machinery is identical, so shard/single-chip bitwise
+    # parity carries over unchanged
+    caux, n_global = None, 0
+    if opts.cluster_scan:
+        part = pk._cluster_partition(scene, opts)
+        if part is not None:
+            scene = part.scene
+            caux = (part.bounds, part.uuid)
+            n_global = part.n_global
+
+    if caux is not None:
+        # cluster members run the full near→far fallback — nothing to split
         g_full = None
+    else:
+        # static far-root analysis (the scene is concrete here, outside
+        # shard_map): same permutation + near-only suffix as the
+        # single-chip offline path (pallas_kernel._containable_split) —
+        # value-neutral sphere reordering, so shard/single-chip parity
+        # is unchanged
+        split = pk._containable_split(scene, dcam, opts)
+        if split is not None:
+            perm, g_full = split
+            if perm is not None:
+                scene = jax.tree_util.tree_map(lambda a: a[perm], scene)
+        else:
+            g_full = None
 
     # sorted path exactly when the single-chip render would sort: multi-
     # chunk work with sort_pixels on (the schedule is shard-local/static)
@@ -330,7 +351,8 @@ def render_image_sharded_pallas(
         if not use_adaptive:
             opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
 
-    def shard_body(scene, dcam, seed):
+    def shard_body(scene, dcam, seed, *cx):
+        caux_l = (cx[0], cx[1]) if cx else None
         samp0 = (
             jax.lax.axis_index(spp_axis) * spp_local if spp_axis else 0
         )
@@ -339,6 +361,7 @@ def render_image_sharded_pallas(
             acc, segments = _pallas_band_adaptive(
                 scene, dcam, seed, width, height, local_h,
                 opts, interpret, r_sub, k_slots, sizes_a, g_full=g_full,
+                caux=caux_l, n_global=n_global,
             )
             image, mean_spp, spp_map = pk._finalize_adaptive(
                 acc, width, local_h, opts.gamma, r_sub, k_slots
@@ -348,6 +371,7 @@ def render_image_sharded_pallas(
             acc, segments = _pallas_band_sorted(
                 scene, dcam, seed, samp0, spp_local, width, height,
                 local_h, opts, interpret, r_sub, k_slots, g_full=g_full,
+                caux=caux_l, n_global=n_global,
             )
             if spp_axis is not None:
                 acc = jax.lax.psum(acc, spp_axis)
@@ -358,7 +382,8 @@ def render_image_sharded_pallas(
             return image, segments[None]
         acc = _pallas_band_chunks(
             scene, dcam, seed, samp0, spp_local, width, height, local_h,
-            opts, interpret, g_full=g_full,
+            opts, interpret, g_full=g_full, caux=caux_l,
+            n_global=n_global,
         )
         if spp_axis is not None:
             acc = jax.lax.psum(acc, spp_axis)
@@ -370,14 +395,15 @@ def render_image_sharded_pallas(
         # per-band mean effective spp + the (H, W) sample-density map,
         # row-sharded exactly like the image
         out_specs += (P("rows"), P("rows", None))
+    extra = () if caux is None else caux  # replicated cluster tables
     fn = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P()) + (P(),) * len(extra),
         out_specs=out_specs,
         check_rep=False,
     )
-    out = jax.jit(fn)(scene, dcam, seed)
+    out = jax.jit(fn)(scene, dcam, seed, *extra)
     image, segments = out[0], out[1]
     if return_stats:
         # per-rows-shard values are already psum'ed across the spp axis

@@ -89,6 +89,59 @@ class TraceOptions:
     #: only ever selects a far root when the ray starts inside the sphere.
     #: Applies to concrete (non-traced) scenes on the offline path.
     split_scan: bool = True
+    #: offload the closest-hit scan's per-sphere dot products to the MXU:
+    #: nb = c·d − o·d and the k1-folded c·o ride two (S_pad,4)@(4,128)
+    #: DEFAULT-precision matmuls per ray row (the systolic array is idle
+    #: during the scan and its latency hides under the remaining VPU
+    #: work), cutting the scan's VPU op count ~1.7x. DEFAULT matmuls
+    #: round operands to bf16, so the scan's candidate ORDERING is fuzzed
+    #: ~2^-8 relative near ties/tangents — the kernel re-evaluates the
+    #: WINNER's quadratic in exact f32 from the gathered params, so hit
+    #: geometry (t, hit point, normal) stays exact f32; only which-sphere
+    #: -wins near coincident surfaces can differ (measure-zero pixel
+    #: set). Default False until device-measured (interpret mode cannot
+    #: reproduce MXU rounding). NOTE: a HIGHEST-precision variant of this
+    #: idea measured 2.1x SLOWER in round 3 (PERF.md negative-results:
+    #: the (S,128) output planes round-trip through VMEM while the VPU
+    #: form streams temporaries in registers). This retry differs in ONE
+    #: measured dimension — DEFAULT matmuls are single-pass, 6x less MXU
+    #: time than HIGHEST, bought with the bf16 ordering fuzz above — and
+    #: the VMEM-round-trip objection still stands, so it stays opt-in
+    #: until scripts/bench_scan_mxu.py prints ADOPT on device.
+    scan_mxu: bool = False
+    #: gathered cluster scan — the round-4 per-lane culling design the
+    #: flat scan's roofline points at (PERF.md). Spheres are partitioned
+    #: host-side into GLOBALS (big spheres, exact-tested once per bounce)
+    #: plus grid-cell CLUSTERS of ``cluster_group`` members with
+    #: conservative bounding spheres (scene/accel.py). Each while-loop
+    #: iteration a lane (1) bound-tests all K clusters, (2) extracts its
+    #: ``cluster_cpi`` nearest not-yet-visited clusters (t-entry order,
+    #: index tie-break), (3) fetches their members' params by PER-LANE
+    #: dynamic gather (Mosaic same-shape ``take_along_axis`` → lane-axis
+    #: ``tpu.dynamic_gather``, new in jax 0.9.0) and exact-tests them,
+    #: pruning against the running best hit. A lane whose remaining
+    #: cluster entries can't beat its best COMPLETES the bounce in that
+    #: iteration — scatter/terminate/regenerate run under the bounce-done
+    #: mask, so per-lane cluster-count variance is absorbed exactly like
+    #: path-length variance already is (path regeneration). Exact member
+    #: tests mirror the flat scan's arithmetic bitwise and use the FULL
+    #: near→far fallback (= tracer.hit_world semantics; self-reentry is
+    #: covered naturally, no self-test carries). Measured on real cover
+    #: segment populations: ~2.25 clusters tested/segment (mean) at
+    #: cell 4.0 / group 16 → projected ~1.6-2.0x over the flat scan
+    #: (scripts/measure_cluster_hits.py). Requires a concrete scene (the
+    #: partition is host-built); falls back to the flat scan for traced
+    #: scenes and scenes small enough that clustering can't pay
+    #: (count < ~64). Off by default until device-measured.
+    cluster_scan: bool = False
+    #: clusters extracted + exact-tested per iteration (amortizes the
+    #: per-iteration fixed work over more member tests; the cost model in
+    #: scripts/measure_cluster_hits.py sizes this)
+    cluster_cpi: int = 2
+    #: grid cell size of the cluster partition (world units over (x, z))
+    cluster_cell: float = 4.0
+    #: spheres per cluster (gather/test granularity)
+    cluster_group: int = 16
 
     def __post_init__(self):
         if self.max_depth < 1:
@@ -100,6 +153,15 @@ class TraceOptions:
             raise ValueError(
                 f"sampler must be 'random' or 'stratified', got "
                 f"{self.sampler!r}"
+            )
+        if self.cluster_cpi < 1:
+            raise ValueError(
+                f"cluster_cpi must be >= 1, got {self.cluster_cpi}"
+            )
+        if self.cluster_scan and self.scan_mxu:
+            raise ValueError(
+                "cluster_scan and scan_mxu are alternative scan "
+                "implementations — enable at most one"
             )
 
 

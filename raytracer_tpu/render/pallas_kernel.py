@@ -69,6 +69,10 @@ from raytracer_tpu.scene.spheres import Scene
 
 LANES = 128
 DEFAULT_R_SUB = 8  # 8 rows x 128 lanes = 1024 rays per grid step
+#: SMEM uniform slot where the cluster scan's GLOBAL sphere params start
+#: (4 scalars [cx, cy, cz, k1] per global, after the 32 camera/debug
+#: slots of _camera_uniforms)
+_UNI_GLOBALS = 32
 
 TWO_PI = 6.2831853071795864
 INV_24 = 1.0 / 16777216.0  # 2^-24
@@ -171,7 +175,15 @@ def _make_kernel(
     k_slots: int = 1,
     g_full: int | None = None,
     adaptive: bool = False,
+    cdims: tuple | None = None,
 ):
+    # cdims = (K_pad, n_global, group, n_banks) switches the closest-hit
+    # implementation to the GATHERED CLUSTER SCAN (see TraceOptions.
+    # cluster_scan): one while-loop iteration = one cluster step, and the
+    # scatter/terminate/regenerate tail runs under a bounce-done mask.
+    cluster = cdims is not None
+    if cluster:
+        k_pad_c, n_global, group, n_banks = cdims
     # slots [0, g_full) run the full near→far root fallback; slots beyond
     # are statically known to never contain a ray origin (see
     # _containable_split), so their far root is never the closest
@@ -190,7 +202,17 @@ def _make_kernel(
 
     dn = (((1,), (0,)), ((), ()))  # contract a.dim1 with b.dim0
 
-    def kernel(uni_ref, seed_ref, sph_ref, prm_ref, *rest):
+    def kernel(uni_ref, seed_ref, *tables):
+        if cluster:
+            # bnd_ref: (K_pad, 4) cluster bounds [bcx, bcy, bcz, bk1]
+            # mem_ref: (group·4, 8, 128) member params, lanes = cluster id
+            # win_ref: (nw, n_banks, 8, 128) winner param banks by slot
+            bnd_ref, mem_ref, win_ref, *rest = tables
+        else:
+            sph_ref, prm_ref, *rest = tables
+        if opts.scan_mxu:
+            # (2, S_pad, 4) A-matrices of the MXU scan offload
+            mxt_ref, *rest = rest
         if permuted:
             pix_ref, out_ref, gat_ref = rest
         else:
@@ -219,12 +241,13 @@ def _make_kernel(
         # are IDENTICAL to the single-chip render at any mesh size)
         row_offset = seed_ref[2]
 
-        # sphere SoA columns, (S_pad, 1) — sph_ref is a (S_pad, 12) VMEM
-        # table; spheres broadcast along lanes against per-ray rows
-        s_cx = sph_ref[:, 0:1]
-        s_cy = sph_ref[:, 1:2]
-        s_cz = sph_ref[:, 2:3]
-        s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
+        if not cluster:
+            # sphere SoA columns, (S_pad, 1) — sph_ref is a (S_pad, 12)
+            # VMEM table; spheres broadcast along lanes against ray rows
+            s_cx = sph_ref[:, 0:1]
+            s_cy = sph_ref[:, 1:2]
+            s_cz = sph_ref[:, 2:3]
+            s_k1 = sph_ref[:, 3:4]   # |c|^2 - r^2
 
         zero = jnp.zeros((r_sub, LANES), jnp.float32)
         one = jnp.ones((r_sub, LANES), jnp.float32)
@@ -384,11 +407,19 @@ def _make_kernel(
             alive = state[12]
             return jnp.max(alive) > 0.0
 
-        has_self = g_full < s_pad
+        has_self = (not cluster) and g_full < s_pad
+        FILLQ = jnp.float32(3e38)
 
         def body(state):
             (ox, oy, oz, dx, dy, dz, cr, cg, cb,
              s_f, i_f, k_f, alive, segs, *pp) = state
+            if cluster:
+                # per-bounce cluster-walk state: best hit so far (q-space
+                # + winner slot id) and the visited cursor — the
+                # (entry q, cluster idx) of the last visited cluster,
+                # which with the lexicographic (q, idx) visit order fully
+                # encodes the visited SET (no per-cluster mask carry)
+                bq, bs, ql, il = pp
             if has_self:
                 # the sphere this lane's origin sits on (last bounce's
                 # winner): exact far-root SELF-test below restores the
@@ -404,7 +435,10 @@ def _make_kernel(
             )
             ctr = ctr0 + 4 + i_f.astype(jnp.int32) * draws_per_bounce
 
-            segs = segs + jnp.sum(alive)
+            if not cluster:
+                # cluster mode counts a segment when its bounce COMPLETES
+                # (one iteration = one cluster step, not one bounce)
+                segs = segs + jnp.sum(alive)
             # one-hot over the lane's current pixel slot: routes this
             # iteration's cost tick and any path contribution to that
             # pixel's accumulator channels
@@ -443,130 +477,378 @@ def _make_kernel(
             # argmin over q equals argmin over t and the two per-sphere
             # divisions (root·inv_a) collapse into one per-row multiply
             min_t_a = MIN_T * a
-            bq_rows = []
-            for row in range(r_sub):
-                dxr = dx[row : row + 1]
-                dyr = dy[row : row + 1]
-                dzr = dz[row : row + 1]
-                oxr = ox[row : row + 1]
-                oyr = oy[row : row + 1]
-                ozr = oz[row : row + 1]
-                a_r = a[row : row + 1]
-                inv_a_r = inv_a[row : row + 1]
-                odd_r = o_dot_d[row : row + 1]
-                ooo_r = o_dot_o[row : row + 1]
-                min_q = min_t_a[row : row + 1]
+            if cluster:
+                # --- GATHERED CLUSTER SCAN (TraceOptions.cluster_scan) ---
+                # One iteration of the per-lane cluster walk. Fresh lanes
+                # (bounce just started: visited cursor at -inf) first
+                # exact-test the GLOBAL spheres (full near->far fallback;
+                # globals are the containable ground/big spheres), seeding
+                # the running best. Every lane then bound-tests all K_pad
+                # clusters, extracts its cpi nearest not-yet-visited
+                # entries in lexicographic (entry q, cluster idx) order,
+                # and exact-tests their members fetched by PER-LANE
+                # lane-axis dynamic gather (Mosaic lowers same-shape
+                # take_along_axis to tpu.dynamic_gather, jax >= 0.9.0).
+                # Member/global arithmetic mirrors the flat scan op order
+                # bitwise, so q values are identical and images match the
+                # flat kernel except on exact q ties (visit order here vs
+                # lowest slot index there). Full near->far fallback =
+                # tracer.hit_world semantics: self-reentry resolves
+                # naturally (the origin sits inside the last-hit sphere's
+                # bound, so its cluster is visited first) - no self-test.
+                fresh = ql < jnp.float32(-1e38)
+                g_best = jnp.full((r_sub, LANES), FILLQ)
+                g_slot = zero
+                for g in range(n_global):
+                    gcx = uni_ref[_UNI_GLOBALS + 4 * g]
+                    gcy = uni_ref[_UNI_GLOBALS + 4 * g + 1]
+                    gcz = uni_ref[_UNI_GLOBALS + 4 * g + 2]
+                    gk1 = uni_ref[_UNI_GLOBALS + 4 * g + 3]
+                    cdd = gcx * dx + gcy * dy + gcz * dz
+                    cdo = gcx * ox + gcy * oy + gcz * oz
+                    nbg = cdd - o_dot_d
+                    ccg = o_dot_o - 2.0 * cdo + gk1
+                    dsg = nbg * nbg - a * ccg
+                    sqg = jnp.where(
+                        dsg >= 0.0, jnp.sqrt(jnp.abs(dsg)),
+                        jnp.float32(-3e38),
+                    )
+                    qng = nbg - sqg
+                    qg = jnp.where(qng >= min_t_a, qng, nbg + sqg)
+                    qg = jnp.where(qg >= min_t_a, qg, FILLQ)
+                    upd = qg < g_best
+                    g_best = jnp.where(upd, qg, g_best)
+                    g_slot = jnp.where(upd, jnp.float32(g), g_slot)
+                bq = jnp.where(fresh, g_best, bq)
+                bs = jnp.where(fresh, g_slot, bs)
 
-                c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
-                c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
-                # nb = -half_b (shader.frag:152): building the negated form
-                # directly saves the negation in both root computations
-                # (bitwise-safe: rn(b-a) == -rn(a-b) for finite f32)
-                nb = c_dot_d - odd_r
-                c_coef = ooo_r - 2.0 * c_dot_o + s_k1
-                disc = nb * nb - a_r * c_coef
-                # disc < 0 ⇒ poison sq to -3e38: q_near = -half_b + 3e38
-                # absorbs to EXACTLY 3e38 (|half_b| ≪ ulp(3e38)), i.e. the
-                # fill value itself, so no upper-bound test is needed (no
-                # real geometry sits beyond MAX_T; no-hit is detected from
-                # the fill). NOT sqrt-of-negative→NaN: Mosaic's sqrt is not
-                # IEEE there (measured wrong images on device). Inactive
-                # slots are encoded unhittable in the table (center=0,
-                # k1=+1 ⇒ disc < 0 by Cauchy-Schwarz): no active test.
-                sq = jnp.where(
-                    disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
+                # broad phase: cluster bounds on SUBLANES per ray row
+                # (the flat scan's layout), conservative entry in q-space
+                b_cx = bnd_ref[:, 0:1]
+                b_cy = bnd_ref[:, 1:2]
+                b_cz = bnd_ref[:, 2:3]
+                b_k1 = bnd_ref[:, 3:4]
+                # i32 iota + convert (the kernel's established pattern —
+                # a direct f32 iota is an untested Mosaic lowering)
+                idx_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (k_pad_c, LANES), 0
+                ).astype(jnp.float32)
+                cpi = opts.cluster_cpi
+                sel_q = [[] for _ in range(cpi)]
+                sel_i = [[] for _ in range(cpi)]
+                done_rows = []
+                for row in range(r_sub):
+                    dxr = dx[row : row + 1]
+                    dyr = dy[row : row + 1]
+                    dzr = dz[row : row + 1]
+                    oxr = ox[row : row + 1]
+                    oyr = oy[row : row + 1]
+                    ozr = oz[row : row + 1]
+                    a_r = a[row : row + 1]
+                    odd_r = o_dot_d[row : row + 1]
+                    ooo_r = o_dot_o[row : row + 1]
+                    min_q = min_t_a[row : row + 1]
+                    cdd = b_cx * dxr + b_cy * dyr + b_cz * dzr
+                    cdo = b_cx * oxr + b_cy * oyr + b_cz * ozr
+                    nbb = cdd - odd_r
+                    ccb = ooo_r - 2.0 * cdo + b_k1
+                    dsb = nbb * nbb - a_r * ccb
+                    sqb = jnp.where(
+                        dsb >= 0.0, jnp.sqrt(jnp.abs(dsb)),
+                        jnp.float32(-3e38),
+                    )
+                    # entry = max(q_near, min_q) when the bound is hit at
+                    # all (q_far >= min_q; disc < 0 poisons q_far to
+                    # -3e38 < min_q), else FILLQ. Origin inside the bound
+                    # clips to min_q - visited before everything.
+                    qe = jnp.where(
+                        nbb + sqb >= min_q,
+                        jnp.maximum(nbb - sqb, min_q),
+                        FILLQ,
+                    )
+                    qlr = ql[row : row + 1]
+                    ilr = il[row : row + 1]
+                    for j in range(cpi):
+                        unv = (qe > qlr) | (
+                            (qe == qlr) & (idx_iota > ilr)
+                        )
+                        cand = jnp.where(unv, qe, FILLQ)
+                        m = jnp.min(cand, axis=0, keepdims=True)
+                        isel = jnp.min(
+                            jnp.where(
+                                cand == m, idx_iota, jnp.float32(LANES)
+                            ),
+                            axis=0, keepdims=True,
+                        )
+                        sel_q[j].append(m)
+                        sel_i[j].append(isel)
+                        qlr, ilr = m, isel
+                    # bounce DONE when the nearest unvisited entry cannot
+                    # beat the running best (>=: an equal entry can only
+                    # tie, and ties keep the earlier winner)
+                    done_rows.append(
+                        (sel_q[0][row] >= bq[row : row + 1])
+                        .astype(jnp.float32)
+                    )
+                bdone = jnp.concatenate(done_rows, axis=0) > 0.5
+                ab = alive_b & bdone
+                segs = segs + jnp.sum(jnp.where(ab, one, zero))
+                u_live = alive_b & jnp.logical_not(bdone)
+
+                # exact-test the selected clusters' members (gathered by
+                # per-lane cluster id; one (8,128) gather per member
+                # param). A FILL selection (list exhausted) resolves to
+                # the lowest all-FILL bound slot, whose members are
+                # encoded unhittable - a harmless no-op; clamp is gather
+                # range safety only.
+                for j in range(cpi):
+                    cidx_f = jnp.concatenate(sel_i[j], axis=0)
+                    cidx_f = jnp.minimum(cidx_f, jnp.float32(LANES - 1))
+                    cidx = cidx_f.astype(jnp.int32)
+                    for mm in range(group):
+                        mcx = jnp.take_along_axis(
+                            mem_ref[4 * mm], cidx, axis=1
+                        )
+                        mcy = jnp.take_along_axis(
+                            mem_ref[4 * mm + 1], cidx, axis=1
+                        )
+                        mcz = jnp.take_along_axis(
+                            mem_ref[4 * mm + 2], cidx, axis=1
+                        )
+                        mk1 = jnp.take_along_axis(
+                            mem_ref[4 * mm + 3], cidx, axis=1
+                        )
+                        cdd = mcx * dx + mcy * dy + mcz * dz
+                        cdo = mcx * ox + mcy * oy + mcz * oz
+                        nbm = cdd - o_dot_d
+                        ccm = o_dot_o - 2.0 * cdo + mk1
+                        dsm = nbm * nbm - a * ccm
+                        sqm = jnp.where(
+                            dsm >= 0.0, jnp.sqrt(jnp.abs(dsm)),
+                            jnp.float32(-3e38),
+                        )
+                        qnm = nbm - sqm
+                        qm = jnp.where(qnm >= min_t_a, qnm, nbm + sqm)
+                        qm = jnp.where(qm >= min_t_a, qm, FILLQ)
+                        upd = u_live & (qm < bq)
+                        bq = jnp.where(upd, qm, bq)
+                        bs = jnp.where(
+                            upd,
+                            jnp.float32(n_global)
+                            + cidx_f * jnp.float32(group)
+                            + jnp.float32(mm),
+                            bs,
+                        )
+                # advance the visited cursor past this iteration's last
+                # selection (a FILL cursor = list exhausted: the next
+                # iteration extracts FILL and the lane completes)
+                ql = jnp.where(
+                    u_live, jnp.concatenate(sel_q[cpi - 1], axis=0), ql
                 )
-                q_near = nb - sq
-                if g_full >= s_pad:
-                    q_far = nb + sq
-                    q = jnp.where(q_near >= min_q, q_near, q_far)
-                    cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
-                elif g_full == 0:
-                    cand = jnp.where(
-                        q_near >= min_q, q_near, jnp.float32(3e38)
-                    )
-                else:
-                    # split scan: full fallback for the containable
-                    # prefix, near-only for the rest (g_full is sublane-
-                    # aligned, so both halves are canonically tiled)
-                    qn_g = q_near[:g_full]
-                    qf_g = nb[:g_full] + sq[:g_full]
-                    qg = jnp.where(qn_g >= min_q, qn_g, qf_g)
-                    cand_g = jnp.where(qg >= min_q, qg, jnp.float32(3e38))
-                    qn_r = q_near[g_full:]
-                    cand_r = jnp.where(
-                        qn_r >= min_q, qn_r, jnp.float32(3e38)
-                    )
-                    cand = jnp.concatenate([cand_g, cand_r], axis=0)
-                bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
-                bq_rows.append(bq)
-                # one-hot winner mask (ties: both fire — only on exactly
-                # coincident surfaces). All-fill (no-hit) columns gather
-                # the sum of every slot's params — finite garbage that is
-                # provably unused: every consumer is masked by ``hit``.
-                # The gather is EXACT f32 via a 3-term bf16 split of the
-                # param table (hi/mid/lo each bf16-representable, one-hot
-                # exact in bf16, f32 accumulation) — 3 single-pass DEFAULT
-                # matmuls instead of one 6-pass HIGHEST.
-                oh = (cand == bq).astype(jnp.float32)
-                gat_ref[:, row, :] = (
-                    jax.lax.dot_general(
-                        prm_ref[0], oh, dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        prm_ref[1], oh, dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        prm_ref[2], oh, dn,
-                        preferred_element_type=jnp.float32,
-                    )
+                il = jnp.where(
+                    u_live, jnp.concatenate(sel_i[cpi - 1], axis=0), il
                 )
 
-            best_q = jnp.concatenate(bq_rows, axis=0)
-            scx = gat_ref[0]
-            scy = gat_ref[1]
-            scz = gat_ref[2]
-            inv_r = gat_ref[3]
-            mat = gat_ref[4]
-            al_r = gat_ref[5]
-            al_g = gat_ref[6]
-            al_b = gat_ref[7]
-            fuzz = gat_ref[8]
-            refr = gat_ref[9]
-            if has_self:
-                # exact per-lane far-root test of the LAST-HIT sphere —
-                # arithmetic mirrors the scan exactly (same op order, k1
-                # gathered from the table), so when that sphere is in the
-                # containable prefix the duplicate candidate ties bitwise
-                # and the strict < keeps the scan's winner
-                s_cdd = _dot3(p_cx, p_cy, p_cz, dx, dy, dz)
-                s_cdo = _dot3(p_cx, p_cy, p_cz, ox, oy, oz)
-                s_nb = s_cdd - o_dot_d
-                s_cc = o_dot_o - 2.0 * s_cdo + p_k1
-                s_disc = s_nb * s_nb - a * s_cc
-                s_sq = jnp.where(
-                    s_disc >= 0.0, jnp.sqrt(jnp.abs(s_disc)),
-                    jnp.float32(-3e38),
-                )
-                s_qf = s_nb + s_sq
-                # valid only mid-path (i_f >= 1: origin is a hit point)
-                self_ok = (
-                    (i_f >= 1.0) & (s_qf >= min_t_a) & (s_qf < best_q)
-                )
-                best_q = jnp.where(self_ok, s_qf, best_q)
-                k1_w = jnp.where(self_ok, p_k1, gat_ref[10])
-                scx = jnp.where(self_ok, p_cx, scx)
-                scy = jnp.where(self_ok, p_cy, scy)
-                scz = jnp.where(self_ok, p_cz, scz)
-                inv_r = jnp.where(self_ok, p_ir, inv_r)
-                mat = jnp.where(self_ok, p_mt, mat)
-                al_r = jnp.where(self_ok, p_ar, al_r)
-                al_g = jnp.where(self_ok, p_ag, al_g)
-                al_b = jnp.where(self_ok, p_ab, al_b)
-                fuzz = jnp.where(self_ok, p_fz, fuzz)
-                refr = jnp.where(self_ok, p_rf, refr)
+                # winner params by BANKED per-lane gather on the slot id
+                # (consumed only by bounce-done lanes; non-done lanes
+                # gather garbage that every consumer masks away)
+                isl = bs.astype(jnp.int32)
+                bank = jax.lax.shift_right_logical(isl, 7)
+                woff = jax.lax.bitwise_and(isl, jnp.int32(LANES - 1))
+                nw = 11 if opts.enable_debug else 10
+                wv = []
+                for p in range(nw):
+                    v = zero
+                    for b in range(n_banks):
+                        gv = jnp.take_along_axis(
+                            win_ref[p, b], woff, axis=1
+                        )
+                        v = jnp.where(bank == jnp.int32(b), gv, v)
+                    wv.append(v)
+                (scx, scy, scz, inv_r, mat,
+                 al_r, al_g, al_b, fuzz, refr) = wv[:10]
+                if opts.enable_debug:
+                    uuid_w = wv[10]
+                best_q = bq
+            else:
+                bq_rows = []
+                for row in range(r_sub):
+                    dxr = dx[row : row + 1]
+                    dyr = dy[row : row + 1]
+                    dzr = dz[row : row + 1]
+                    oxr = ox[row : row + 1]
+                    oyr = oy[row : row + 1]
+                    ozr = oz[row : row + 1]
+                    a_r = a[row : row + 1]
+                    inv_a_r = inv_a[row : row + 1]
+                    odd_r = o_dot_d[row : row + 1]
+                    ooo_r = o_dot_o[row : row + 1]
+                    min_q = min_t_a[row : row + 1]
+
+                    if opts.scan_mxu:
+                        # MXU offload: nb and the k1-folded c·o for ALL
+                        # spheres are two (S_pad,4)@(4,128) DEFAULT matmuls
+                        # (operands round to bf16; the winner's quadratic is
+                        # re-evaluated in exact f32 after the gather, so only
+                        # candidate ORDERING near ties is fuzzed). The MXU
+                        # runs concurrently with the VPU, so these ride free
+                        # under the scan's remaining elementwise work.
+                        b1 = jnp.concatenate(
+                            [dxr, dyr, dzr, -odd_r], axis=0
+                        )
+                        b2 = jnp.concatenate(
+                            [oxr, oyr, ozr, jnp.ones_like(oxr)], axis=0
+                        )
+                        nb = jax.lax.dot_general(
+                            mxt_ref[0], b1, dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        cok = jax.lax.dot_general(
+                            mxt_ref[1], b2, dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        c_coef = ooo_r - 2.0 * cok
+                    else:
+                        c_dot_d = s_cx * dxr + s_cy * dyr + s_cz * dzr
+                        c_dot_o = s_cx * oxr + s_cy * oyr + s_cz * ozr
+                        # nb = -half_b (shader.frag:152): building the negated
+                        # form directly saves the negation in both root
+                        # computations (bitwise-safe: rn(b-a) == -rn(a-b) for
+                        # finite f32)
+                        nb = c_dot_d - odd_r
+                        c_coef = ooo_r - 2.0 * c_dot_o + s_k1
+                    disc = nb * nb - a_r * c_coef
+                    # disc < 0 ⇒ poison sq to -3e38: q_near = -half_b + 3e38
+                    # absorbs to EXACTLY 3e38 (|half_b| ≪ ulp(3e38)), i.e. the
+                    # fill value itself, so no upper-bound test is needed (no
+                    # real geometry sits beyond MAX_T; no-hit is detected from
+                    # the fill). NOT sqrt-of-negative→NaN: Mosaic's sqrt is not
+                    # IEEE there (measured wrong images on device). Inactive
+                    # slots are encoded unhittable in the table (center=0,
+                    # k1=+1 ⇒ disc < 0 by Cauchy-Schwarz): no active test.
+                    sq = jnp.where(
+                        disc >= 0.0, jnp.sqrt(jnp.abs(disc)), jnp.float32(-3e38)
+                    )
+                    q_near = nb - sq
+                    if g_full >= s_pad:
+                        q_far = nb + sq
+                        q = jnp.where(q_near >= min_q, q_near, q_far)
+                        cand = jnp.where(q >= min_q, q, jnp.float32(3e38))
+                    elif g_full == 0:
+                        cand = jnp.where(
+                            q_near >= min_q, q_near, jnp.float32(3e38)
+                        )
+                    else:
+                        # split scan: full fallback for the containable
+                        # prefix, near-only for the rest (g_full is sublane-
+                        # aligned, so both halves are canonically tiled)
+                        qn_g = q_near[:g_full]
+                        qf_g = nb[:g_full] + sq[:g_full]
+                        qg = jnp.where(qn_g >= min_q, qn_g, qf_g)
+                        cand_g = jnp.where(qg >= min_q, qg, jnp.float32(3e38))
+                        qn_r = q_near[g_full:]
+                        cand_r = jnp.where(
+                            qn_r >= min_q, qn_r, jnp.float32(3e38)
+                        )
+                        cand = jnp.concatenate([cand_g, cand_r], axis=0)
+                    bq = jnp.min(cand, axis=0, keepdims=True)  # (1, LANES)
+                    bq_rows.append(bq)
+                    # one-hot winner mask (ties: both fire — only on exactly
+                    # coincident surfaces). All-fill (no-hit) columns gather
+                    # the sum of every slot's params — finite garbage that is
+                    # provably unused: every consumer is masked by ``hit``.
+                    # The gather is EXACT f32 via a 3-term bf16 split of the
+                    # param table (hi/mid/lo each bf16-representable, one-hot
+                    # exact in bf16, f32 accumulation) — 3 single-pass DEFAULT
+                    # matmuls instead of one 6-pass HIGHEST.
+                    oh = (cand == bq).astype(jnp.float32)
+                    gat_ref[:, row, :] = (
+                        jax.lax.dot_general(
+                            prm_ref[0], oh, dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            prm_ref[1], oh, dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            prm_ref[2], oh, dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+
+                best_q = jnp.concatenate(bq_rows, axis=0)
+                scx = gat_ref[0]
+                scy = gat_ref[1]
+                scz = gat_ref[2]
+                inv_r = gat_ref[3]
+                mat = gat_ref[4]
+                al_r = gat_ref[5]
+                al_g = gat_ref[6]
+                al_b = gat_ref[7]
+                fuzz = gat_ref[8]
+                refr = gat_ref[9]
+                if opts.scan_mxu:
+                    # EXACT f32 re-evaluation of the winner's quadratic from
+                    # the (exact, bf16-split-gathered) winner params: the
+                    # DEFAULT-precision scan matmuls fuzz candidate q values
+                    # ~2^-8 relative, which may reorder near-coincident
+                    # candidates but must NOT move the chosen winner's hit
+                    # geometry. Op order mirrors the self-test below exactly,
+                    # so a duplicate candidate (winner == last-hit sphere)
+                    # ties bitwise and the self-test's strict < still keeps
+                    # the scan's winner.
+                    w_k1 = gat_ref[10]
+                    scan_hit = best_q * inv_a < jnp.float32(1e20)
+                    w_cdd = _dot3(scx, scy, scz, dx, dy, dz)
+                    w_cdo = _dot3(scx, scy, scz, ox, oy, oz)
+                    w_nb = w_cdd - o_dot_d
+                    w_cc = o_dot_o - 2.0 * w_cdo + w_k1
+                    w_disc = w_nb * w_nb - a * w_cc
+                    w_sq = jnp.where(
+                        w_disc >= 0.0, jnp.sqrt(jnp.abs(w_disc)),
+                        jnp.float32(-3e38),
+                    )
+                    w_qn = w_nb - w_sq
+                    w_q = jnp.where(w_qn >= min_t_a, w_qn, w_nb + w_sq)
+                    # fuzz-admitted ghosts (exact roots behind MIN_T, or
+                    # exact disc < 0 → w_q absorbs to 3e38) demote to miss;
+                    # no-hit lanes keep the scan's fill untouched (their
+                    # gathered params are the documented all-slot garbage)
+                    w_q = jnp.where(w_q >= min_t_a, w_q, jnp.float32(3e38))
+                    best_q = jnp.where(scan_hit, w_q, best_q)
+                if has_self:
+                    # exact per-lane far-root test of the LAST-HIT sphere —
+                    # arithmetic mirrors the scan exactly (same op order, k1
+                    # gathered from the table), so when that sphere is in the
+                    # containable prefix the duplicate candidate ties bitwise
+                    # and the strict < keeps the scan's winner
+                    s_cdd = _dot3(p_cx, p_cy, p_cz, dx, dy, dz)
+                    s_cdo = _dot3(p_cx, p_cy, p_cz, ox, oy, oz)
+                    s_nb = s_cdd - o_dot_d
+                    s_cc = o_dot_o - 2.0 * s_cdo + p_k1
+                    s_disc = s_nb * s_nb - a * s_cc
+                    s_sq = jnp.where(
+                        s_disc >= 0.0, jnp.sqrt(jnp.abs(s_disc)),
+                        jnp.float32(-3e38),
+                    )
+                    s_qf = s_nb + s_sq
+                    # valid only mid-path (i_f >= 1: origin is a hit point)
+                    self_ok = (
+                        (i_f >= 1.0) & (s_qf >= min_t_a) & (s_qf < best_q)
+                    )
+                    best_q = jnp.where(self_ok, s_qf, best_q)
+                    k1_w = jnp.where(self_ok, p_k1, gat_ref[10])
+                    scx = jnp.where(self_ok, p_cx, scx)
+                    scy = jnp.where(self_ok, p_cy, scy)
+                    scz = jnp.where(self_ok, p_cz, scz)
+                    inv_r = jnp.where(self_ok, p_ir, inv_r)
+                    mat = jnp.where(self_ok, p_mt, mat)
+                    al_r = jnp.where(self_ok, p_ar, al_r)
+                    al_g = jnp.where(self_ok, p_ag, al_g)
+                    al_b = jnp.where(self_ok, p_ab, al_b)
+                    fuzz = jnp.where(self_ok, p_fz, fuzz)
+                    refr = jnp.where(self_ok, p_rf, refr)
             best_t = best_q * inv_a
             # no-hit lanes keep the 3e38·inv_a fill — with |d| bounded by
             # the viewport basis, fill/|d|² stays astronomically above
@@ -574,6 +856,12 @@ def _make_kernel(
             # column ties at the fill value)
             hit = best_t < jnp.float32(1e20)
             best_t = jnp.where(hit, best_t, MAX_T)
+            if not cluster:
+                # ab gates the scatter/terminate/regenerate tail: every
+                # live lane in flat mode (one iteration = one bounce);
+                # only bounce-DONE lanes in cluster mode (mid-walk lanes
+                # keep their ray/path state untouched this iteration)
+                ab = alive_b
 
             # hit point + front-face-corrected normal (shader.frag:166-171)
             hpx = ox + best_t * dx
@@ -599,16 +887,19 @@ def _make_kernel(
                 dcy = hpy - cur_y
                 dcz = hpz - cur_z
                 cursor_hit = (
-                    alive_b & hit
+                    ab & hit
                     & (dcx * dcx + dcy * dcy + dcz * dcz
                        < jnp.float32(0.01))
                 )
-                # row 11 of the gather table: winner's uuid (slot index;
-                # the debug path disables the containable permutation so
-                # it matches picking's sphere id)
-                uuid_w = gat_ref[11]
+                if not cluster:
+                    # row 11 of the gather table: winner's uuid (slot
+                    # index; the debug path disables the containable
+                    # permutation so it matches picking's sphere id).
+                    # Cluster mode gathered the ORIGINAL index from the
+                    # winner banks above (the partition reorders slots).
+                    uuid_w = gat_ref[11]
                 outline = (
-                    alive_b & hit & jnp.logical_not(cursor_hit)
+                    ab & hit & jnp.logical_not(cursor_hit)
                     & (uuid_w == sel)
                     & (_dot3(dx, dy, dz, nx, ny, nz)
                        > jnp.float32(-0.05))
@@ -708,8 +999,8 @@ def _make_kernel(
             did_scatter = is_diffuse | (is_metal & metal_ok) | is_glass
 
             # --- terminations and continuations -------------------------
-            miss = jnp.logical_and(alive_b, jnp.logical_not(hit))
-            scat = alive_b & hit & did_scatter
+            miss = jnp.logical_and(ab, jnp.logical_not(hit))
+            scat = ab & hit & did_scatter
             if opts.enable_debug:
                 # debug-marked lanes end their sample here (the GLSL
                 # kernel's early returns, shader.frag:310/314)
@@ -788,7 +1079,7 @@ def _make_kernel(
             # the next sample this iteration; lanes whose samples ran out
             # advance to their next pixel slot (monotone into the padding
             # suffix, so an out-of-image slot ends the lane for good)
-            done = alive_b & jnp.logical_not(scat_cont)
+            done = ab & jnp.logical_not(scat_cont)
             if adaptive:
                 # per-sample convergence stats: completed-sample count and
                 # luminance^2 sums (con_* is this sample's contribution —
@@ -860,6 +1151,19 @@ def _make_kernel(
             cb = jnp.where(regen, one, cb)
             i_f = jnp.where(scat_cont, i_f + 1.0, i_f)
             i_f = jnp.where(regen, zero, i_f)
+            if cluster:
+                # mid-walk lanes stay alive; completed-bounce lanes reset
+                # their cluster-walk state to fresh for the next bounce
+                # (continue from the hit point, or a regenerated ray)
+                alive = (
+                    scat_cont | regen | (alive_b & jnp.logical_not(bdone))
+                ).astype(jnp.float32)
+                bq = jnp.where(ab, FILLQ, bq)
+                bs = jnp.where(ab, zero, bs)
+                ql = jnp.where(ab, jnp.float32(-3e38), ql)
+                il = jnp.where(ab, -one, il)
+                return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                        s_f, i_f, k_f, alive, segs, bq, bs, ql, il)
             alive = (scat_cont | regen).astype(jnp.float32)
 
             if has_self:
@@ -895,6 +1199,13 @@ def _make_kernel(
                 jnp.float32(0.0))
         if has_self:
             init = init + (zero,) * 11
+        if cluster:
+            # (best q, winner slot, visited-cursor q, visited-cursor idx)
+            # — all lanes start FRESH (cursor at -inf)
+            init = init + (
+                jnp.full((r_sub, LANES), FILLQ), zero,
+                jnp.full((r_sub, LANES), jnp.float32(-3e38)), -one,
+            )
         final = jax.lax.while_loop(live_cond, body, init)
         segs = final[13]
         # last channel carries this tile's segment count (scalar,
@@ -974,6 +1285,135 @@ def _params_table_t(scene: Scene) -> jnp.ndarray:
 def _pad_spheres(n: int) -> int:
     """Sphere rows pad to a sublane multiple (min f32 tile is (8, 128))."""
     return max(8, -(-n // 8) * 8)
+
+
+def _mxu_scan_table(scene: Scene) -> jnp.ndarray:
+    """(2, S_pad, 4) f32 A-matrices for the MXU scan offload.
+
+    Plane 0 = [cx, cy, cz, 1]: against B1 = [dx; dy; dz; −o·d] the matmul
+    yields nb = c·d − o·d directly. Plane 1 = [cx, cy, cz, −k1/2]:
+    against B2 = [ox; oy; oz; 1] it yields c·o − k1/2, so
+    c_coef = |o|² − 2·(c·o − k1/2) = |o|² − 2 c·o + k1 costs one fma.
+    Uses the shared :func:`_slot_encoding` (inactive slots center 0,
+    k1 = +1 ⇒ plane-1 col 3 = −0.5, still unhittable: disc < 0 by
+    Cauchy-Schwarz survives the bf16 rounding since every term rounds
+    consistently). Leading-dim stack for the same sublane-offset-slice
+    reason as :func:`_params_table_t`."""
+    act, c, k1 = _slot_encoding(scene)
+    n = scene.count
+    a1 = jnp.concatenate([c, jnp.ones((n, 1), jnp.float32)], axis=1)
+    a2 = jnp.concatenate([c, (-0.5 * k1)[:, None]], axis=1)
+    s_pad = _pad_spheres(n)
+    if s_pad != n:
+        pad1 = jnp.zeros((s_pad - n, 4), jnp.float32).at[:, 3].set(1.0)
+        pad2 = jnp.zeros((s_pad - n, 4), jnp.float32).at[:, 3].set(-0.5)
+        a1 = jnp.concatenate([a1, pad1], axis=0)
+        a2 = jnp.concatenate([a2, pad2], axis=0)
+    return jnp.stack([a1, a2], axis=0)
+
+
+def _cluster_partition(scene: Scene, opts: TraceOptions):
+    """Host-side build of the gathered-cluster-scan partition, or None.
+
+    None when the scene is traced (the partition is data-dependent host
+    work — progressive factories and shard_map bodies fall back to the
+    flat scan), when there are no small-sphere clusters (globals-only
+    scenes ARE the flat scan), or when the partition doesn't fit the
+    kernel's per-lane addressing (K > LANES: a gather index selects one
+    lane of a 128-lane bound bank). The two-level global/cluster split
+    replaces the reference's test-everything-every-bounce loop
+    (static/shader.frag:182-193) with work proportional to what each
+    ray's own geometry can actually hit."""
+    try:
+        host = jax.tree_util.tree_map(
+            np.asarray, jax.device_get(scene)
+        )  # ONE transfer; raises on traced values
+    except Exception:
+        return None
+    from raytracer_tpu.scene.accel import build_grid_clustered
+
+    g = build_grid_clustered(
+        host, cell_size=opts.cluster_cell, group=opts.cluster_group
+    )
+    k = g.bounds.shape[0]
+    if k == 0 or k > LANES:
+        return None
+    return g
+
+
+def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
+                    group: int, r_sub: int):
+    """Device tables of the gathered cluster scan (see _make_kernel).
+
+    - btab (K_pad, 4): cluster bound spheres [bcx, bcy, bcz, bk1] on
+      sublanes (bk1 = |bc|² − br²); empty/padding clusters are encoded
+      unhittable exactly like _slot_encoding's inactive slots.
+    - mtab (group·4, r_sub, LANES): member exact-test params — row
+      4m+p holds param p ∈ [cx, cy, cz, k1] of every cluster's m-th
+      member at that cluster's LANE, pre-broadcast over sublanes (the
+      kernel's lane-axis ``take_along_axis`` needs table.shape ==
+      idx.shape, and an in-kernel sublane broadcast of a row slice is
+      the known Mosaic "Sublane broadcast" trap). Lanes ≥ K are
+      unhittable.
+    - wtab (11, n_banks, r_sub, LANES): winner params [cx, cy, cz,
+      inv_r (signed), mat, albedo rgb, fuzz, refraction, uuid] over all
+      slots, banked by 128 for the banked per-lane gather.
+    - gflat (4·n_global,): the GLOBAL spheres' [cx, cy, cz, k1],
+      appended to the SMEM camera uniforms (slot _UNI_GLOBALS on)."""
+    k = bounds.shape[0]
+    k_pad = max(8, -(-k // 8) * 8)
+    act, c, k1 = _slot_encoding(scene)
+    n_slots = scene.count
+    br = bounds[:, 3]
+    okb = br > 0.0
+    bc = jnp.where(okb[:, None], bounds[:, :3], 0.0)
+    bk1 = jnp.where(okb, jnp.sum(bc * bc, axis=-1) - br * br, 1.0)
+    btab = jnp.concatenate(
+        [bc, bk1[:, None]], axis=1
+    ).astype(jnp.float32)
+    if k_pad != k:
+        pad = jnp.zeros((k_pad - k, 4), jnp.float32).at[:, 3].set(1.0)
+        btab = jnp.concatenate([btab, pad], axis=0)
+
+    mc = c[n_global:].reshape(k, group, 3)
+    mk1 = k1[n_global:].reshape(k, group)
+    vals = jnp.concatenate([mc, mk1[..., None]], axis=-1)
+    vals = vals.transpose(1, 2, 0).reshape(group * 4, k)
+    fill = jnp.zeros((group * 4, LANES - k), jnp.float32)
+    fill = fill.at[3::4, :].set(1.0)  # k1 rows: unhittable
+    mtab = jnp.broadcast_to(
+        jnp.concatenate([vals, fill], axis=1)[:, None, :],
+        (group * 4, r_sub, LANES),
+    )
+
+    r = scene.radius
+    # signed: reproduces the negative-radius normal flip (as _sphere_table)
+    inv_r = jnp.where(r == 0.0, 1.0, 1.0 / jnp.where(r == 0.0, 1.0, r))
+    win = jnp.stack(
+        [
+            c[:, 0], c[:, 1], c[:, 2], inv_r,
+            scene.material_type.astype(jnp.float32),
+            scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+            scene.fuzz, scene.refraction_index,
+            uuid.astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    n_banks = -(-n_slots // LANES)
+    pad_n = n_banks * LANES - n_slots
+    if pad_n:
+        padw = jnp.zeros((11, pad_n), jnp.float32)
+        padw = padw.at[3].set(1.0)    # inv_r finite
+        padw = padw.at[10].set(-1.0)  # uuid: no sphere
+        win = jnp.concatenate([win, padw], axis=1)
+    wtab = jnp.broadcast_to(
+        win.reshape(11, n_banks, 1, LANES), (11, n_banks, r_sub, LANES)
+    )
+
+    gflat = jnp.concatenate(
+        [c[:n_global], k1[:n_global, None]], axis=1
+    ).reshape(-1)
+    return btab, mtab, wtab, gflat
 
 
 def _containable_split(scene: Scene, dcam: DerivedCamera, opts: TraceOptions):
@@ -1185,6 +1625,8 @@ def _render_chunk_impl(
     k_slots: int = 1,
     g_full: int | None = None,
     debug=None,
+    caux=None,
+    n_global: int = 0,
 ):
     """One kernel launch tracing chunk_spp samples of k_slots pixels per
     lane; returns (nt, 4K+1, r, l): channels [0,3K) slot-major linear rgb
@@ -1196,31 +1638,63 @@ def _render_chunk_impl(
     image (the shard_map rows-sharded path); geometry and RNG match the
     single-chip render exactly. ``pixel_map`` (nt, 2, k_slots, r_sub,
     LANES) i32 overrides the lane→pixel assignment (profile-guided
-    sorting)."""
+    sorting). ``caux`` = (bounds, uuid) of a host-built cluster
+    partition (with its static ``n_global``) switches the kernel to the
+    gathered cluster scan — ``scene`` must then be the partition's
+    REORDERED scene (globals first, then cluster members)."""
     tiles_x = pl.cdiv(width, LANES)
     tiles_y = pl.cdiv(local_height or height, k_slots * r_sub)
     nt = tiles_x * tiles_y
     adaptive = opts.adaptive_tolerance > 0.0
     nacc = 6 if adaptive else 4
     nc = nacc * k_slots + 1
+    cdims = None
+    if caux is not None:
+        bounds, uuid = caux
+        k = bounds.shape[0]
+        cdims = (
+            max(8, -(-k // 8) * 8),       # K_pad
+            n_global,
+            opts.cluster_group,
+            -(-scene.count // LANES),     # winner banks
+        )
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
         height, opts, tiles_x, permuted=pixel_map is not None,
-        k_slots=k_slots, g_full=g_full, adaptive=adaptive,
+        k_slots=k_slots, g_full=g_full, adaptive=adaptive, cdims=cdims,
     )
     seeds = jnp.stack([
         seed,
         jnp.asarray(sample_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
     ])
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, offset, row_offset]
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
-    ]
-    args = [_camera_uniforms(dcam, debug), seeds, _sphere_table(scene),
-            _params_table_t(scene)]
+    if caux is not None:
+        btab, mtab, wtab, gflat = _cluster_tables(
+            scene, bounds, uuid, n_global, opts.cluster_group, r_sub
+        )
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms + globals
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, offset, row]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds (K_pad, 4)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # members (4g, r, l)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # winner banks
+        ]
+        args = [
+            jnp.concatenate([_camera_uniforms(dcam, debug), gflat]),
+            seeds, btab, mtab, wtab,
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera uniforms (32,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, offset, row]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table (S_pad, 12)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # params^T (16, S_pad)
+        ]
+        args = [_camera_uniforms(dcam, debug), seeds, _sphere_table(scene),
+                _params_table_t(scene)]
+    if opts.scan_mxu:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(_mxu_scan_table(scene))
     if pixel_map is not None:
         # planes: [ipx, ipy] (+ per-slot sample budget when adaptive)
         nplanes = 3 if adaptive else 2
@@ -1248,7 +1722,7 @@ _render_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "local_height", "k_slots", "g_full",
+        "local_height", "k_slots", "g_full", "n_global",
     ),
 )(_render_chunk_impl)
 
@@ -1257,7 +1731,7 @@ _render_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "g_full", "local_height",
+        "k_slots", "g_full", "local_height", "n_global",
     ),
 )
 def _render_chunk_profiled(
@@ -1276,6 +1750,8 @@ def _render_chunk_profiled(
     sample_offset=0,
     local_height: int | None = None,
     row_offset=0,
+    caux=None,
+    n_global: int = 0,
 ):
     """The profile chunk FUSED with its plan: one device program renders
     the first (unsorted) chunk and turns its per-pixel path costs into the
@@ -1285,7 +1761,8 @@ def _render_chunk_profiled(
     out0 = _render_chunk_impl(
         scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
         r_sub, interpret, local_height=local_height, row_offset=row_offset,
-        k_slots=k_slots, g_full=g_full, debug=debug,
+        k_slots=k_slots, g_full=g_full, debug=debug, caux=caux,
+        n_global=n_global,
     )
     return _profile_to_plan(
         out0, width, local_height if local_height is not None else height,
@@ -1297,7 +1774,7 @@ def _render_chunk_profiled(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "plan_next", "g_full",
+        "k_slots", "plan_next", "g_full", "n_global",
     ),
     donate_argnums=(4, 5),
 )
@@ -1320,6 +1797,8 @@ def _render_chunk_sorted(
     plan_next: bool,
     g_full: int | None,
     debug=None,
+    caux=None,
+    n_global: int = 0,
 ):
     """One sorted-layout chunk FUSED with its accumulate + next-chunk plan:
     a single device program per chunk instead of two, halving the ~50-90 ms
@@ -1331,7 +1810,7 @@ def _render_chunk_sorted(
     return _chunk_sorted_step(
         scene, dcam, seed, sample_offset, acc, segments, inv, pixel_map,
         width, height, chunk_spp, opts, r_sub, interpret, k_slots,
-        plan_next, g_full, debug=debug,
+        plan_next, g_full, debug=debug, caux=caux, n_global=n_global,
     )
 
 
@@ -1339,6 +1818,7 @@ def _chunk_sorted_step(
     scene, dcam, seed, sample_offset, acc, segments, inv, pixel_map,
     width, height, chunk_spp, opts, r_sub, interpret, k_slots,
     plan_next, g_full, debug=None, local_height=None, row_offset=0,
+    caux=None, n_global: int = 0,
 ):
     """Unjitted render→accumulate→re-plan step shared by the single-chip
     chunk-at-a-time path (via the jitted ``_render_chunk_sorted``) and
@@ -1347,6 +1827,7 @@ def _chunk_sorted_step(
         scene, dcam, seed, sample_offset, width, height, chunk_spp, opts,
         r_sub, interpret, local_height=local_height, row_offset=row_offset,
         pixel_map=pixel_map, k_slots=k_slots, g_full=g_full, debug=debug,
+        caux=caux, n_global=n_global,
     )
     acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
     if plan_next:
@@ -1657,7 +2138,7 @@ def _chunk_schedule(spp: int, chunk: int):
     jax.jit,
     static_argnames=(
         "width", "height", "cs", "n", "opts", "r_sub", "interpret",
-        "k_slots", "g_full", "local_height",
+        "k_slots", "g_full", "local_height", "n_global",
     ),
     # donate only what the outputs can alias (acc, segments): inv and
     # pixel_map die inside the scan carry
@@ -1684,6 +2165,8 @@ def _render_chunks_scan(
     debug=None,
     local_height: int | None = None,
     row_offset=0,
+    caux=None,
+    n_global: int = 0,
 ):
     """ALL n uniform sorted chunks in one device program: a lax.scan whose
     body is render + accumulate + next-chunk re-plan (the same fusion as
@@ -1700,7 +2183,7 @@ def _render_chunks_scan(
             scene, dcam, seed, chunk0 + i * cs, acc, segments, inv,
             pixel_map, width, height, cs, opts, r_sub, interpret, k_slots,
             True, g_full, debug=debug, local_height=local_height,
-            row_offset=row_offset,
+            row_offset=row_offset, caux=caux, n_global=n_global,
         )
         return (acc, segments, inv, pixel_map), None
 
@@ -1715,7 +2198,7 @@ def _render_chunks_scan(
     jax.jit,
     static_argnames=(
         "width", "height", "cs", "n", "opts", "r_sub", "interpret",
-        "k_slots", "g_full",
+        "k_slots", "g_full", "n_global",
     ),
     donate_argnums=(4,),
 )
@@ -1735,6 +2218,8 @@ def _render_chunks_scan_unsorted(
     k_slots: int,
     g_full: int | None,
     debug=None,
+    caux=None,
+    n_global: int = 0,
 ):
     """ALL n uniform unsorted chunks in one device program — the
     sort_pixels-off / enable_debug analog of :func:`_render_chunks_scan`
@@ -1750,6 +2235,7 @@ def _render_chunks_scan_unsorted(
         out = _render_chunk_impl(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
             r_sub, interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+            caux=caux, n_global=n_global,
         )
         return acc + out, None
 
@@ -1761,12 +2247,13 @@ def _render_chunks_scan_unsorted(
     jax.jit,
     static_argnames=(
         "width", "height", "chunk_spp", "opts", "r_sub", "interpret",
-        "k_slots", "g_full", "cs_next", "local_height",
+        "k_slots", "g_full", "cs_next", "local_height", "n_global",
     ),
 )
 def _render_adaptive_profiled(
     scene, dcam, seed, width, height, chunk_spp, opts, r_sub, interpret,
     k_slots, g_full, cs_next, local_height=None, row_offset=0,
+    caux=None, n_global: int = 0,
 ):
     """Adaptive profile chunk fused with its plan: renders the first
     (unsorted, full-budget) chunk, whose n/lum² channels seed the first
@@ -1776,7 +2263,7 @@ def _render_adaptive_profiled(
     out0 = _render_chunk_impl(
         scene, dcam, seed, 0, width, height, chunk_spp, opts, r_sub,
         interpret, local_height=local_height, row_offset=row_offset,
-        k_slots=k_slots, g_full=g_full,
+        k_slots=k_slots, g_full=g_full, caux=caux, n_global=n_global,
     )
     acc = _tiles_to_flat(
         out0, width, local_height if local_height is not None else height,
@@ -1794,14 +2281,14 @@ def _render_adaptive_profiled(
     jax.jit,
     static_argnames=(
         "width", "height", "cs", "n", "opts", "r_sub", "interpret",
-        "k_slots", "g_full", "local_height",
+        "k_slots", "g_full", "local_height", "n_global",
     ),
     donate_argnums=(4, 5),
 )
 def _render_adaptive_scan(
     scene, dcam, seed, chunk0, acc, segments, inv, pixel_map, width,
     height, cs, n, opts, r_sub, interpret, k_slots, g_full,
-    local_height=None, row_offset=0,
+    local_height=None, row_offset=0, caux=None, n_global: int = 0,
 ):
     """All n uniform adaptive chunks in ONE device program: render →
     accumulate → re-decide convergence per chunk inside a lax.scan.
@@ -1835,7 +2322,7 @@ def _render_adaptive_scan(
             scene, dcam, seed, chunk0 + i * cs, width, height, cs, opts,
             r_sub, interpret, local_height=local_height,
             row_offset=row_offset, pixel_map=pixel_map, k_slots=k_slots,
-            g_full=g_full,
+            g_full=g_full, caux=caux, n_global=n_global,
         )
         acc, segments = _accumulate_sorted(
             out, acc, segments, inv, k_slots, 6
@@ -1907,6 +2394,8 @@ def _render_pallas(
     debug=None,
     static_split=None,
     sample_offset=0,
+    caux=None,
+    n_global: int = 0,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
@@ -1925,7 +2414,12 @@ def _render_pallas(
     # user's scene order (and interactive debug perf doesn't need it).
     # ``static_split`` = a (perm, g_full) computed by the CALLER on
     # concrete hints (progressive factories: the scene is traced here).
-    if static_split is not None and not opts.enable_debug:
+    if caux is not None:
+        # gathered cluster scan: the scene is already the partition's
+        # reordered layout and members run the full near→far fallback —
+        # the containable analysis has nothing to split
+        split = None
+    elif static_split is not None and not opts.enable_debug:
         split = static_split
     else:
         split = None if opts.enable_debug else _containable_split(
@@ -1979,11 +2473,13 @@ def _render_pallas(
             acc, segments, inv, pm = _render_adaptive_profiled(
                 scene, dcam, seed, width, height, sizes_a[0], opts,
                 r_sub, interpret, k_slots, g_full, cs_next=sizes_a[1],
+                caux=caux, n_global=n_global,
             )
             acc, segments = _render_adaptive_scan(
                 scene, dcam, seed, jnp.int32(sizes_a[0]), acc, segments,
                 inv, pm, width, height, sizes_a[1], len(sizes_a) - 1,
-                opts, r_sub, interpret, k_slots, g_full,
+                opts, r_sub, interpret, k_slots, g_full, caux=caux,
+                n_global=n_global,
             )
             image, mean_spp, spp_map = _finalize_adaptive(
                 acc, width, height, opts.gamma, r_sub, k_slots
@@ -2008,13 +2504,15 @@ def _render_pallas(
         acc = _render_chunk(
             scene, dcam, seed, base_off, width, height, sizes[0], opts,
             r_sub, interpret, k_slots=k_slots, g_full=g_full, debug=debug,
+            caux=caux, n_global=n_global,
         )
         if uniform and len(sizes) > 1:
             # whole remaining run = ONE device program
             acc = _render_chunks_scan_unsorted(
                 scene, dcam, seed, jnp.int32(sizes[0]) + base_off, acc,
                 width, height, sizes[1], len(sizes) - 1, opts, r_sub,
-                interpret, k_slots, g_full, debug=debug,
+                interpret, k_slots, g_full, debug=debug, caux=caux,
+                n_global=n_global,
             )
         else:
             offset = sizes[0]
@@ -2022,7 +2520,8 @@ def _render_pallas(
                 out = _render_chunk(
                     scene, dcam, seed, base_off + offset, width, height,
                     cs, opts, r_sub, interpret, k_slots=k_slots,
-                    g_full=g_full, debug=debug,
+                    g_full=g_full, debug=debug, caux=caux,
+                    n_global=n_global,
                 )
                 acc = acc + out
                 offset += cs
@@ -2041,14 +2540,16 @@ def _render_pallas(
     # identical to the unsorted render.
     acc, segments, inv, pixel_map = _render_chunk_profiled(
         scene, dcam, seed, width, height, chunk0, opts, r_sub, interpret,
-        k_slots, g_full, debug=debug, sample_offset=base_off,
+        k_slots, g_full, debug=debug, sample_offset=base_off, caux=caux,
+        n_global=n_global,
     )
     if uniform:
         # whole sorted run = ONE device program (see _render_chunks_scan)
         acc, segments = _render_chunks_scan(
             scene, dcam, seed, jnp.int32(chunk0) + base_off, acc, segments,
             inv, pixel_map, width, height, sizes[1], len(sizes) - 1, opts,
-            r_sub, interpret, k_slots, g_full, debug=debug,
+            r_sub, interpret, k_slots, g_full, debug=debug, caux=caux,
+            n_global=n_global,
         )
     else:
         offset = chunk0
@@ -2057,7 +2558,7 @@ def _render_pallas(
                 scene, dcam, seed, base_off + offset, acc, segments, inv,
                 pixel_map, width, height, cs, opts, r_sub, interpret,
                 k_slots, plan_next=offset + cs < spp, g_full=g_full,
-                debug=debug,
+                debug=debug, caux=caux, n_global=n_global,
             )
             offset += cs
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
@@ -2107,8 +2608,19 @@ def render_image_pallas(
     # are free, but all-padding row bands would just shrink the grid)
     while k_slots > 1 and height < k_slots * r_sub:
         k_slots //= 2
+    caux, n_global = None, 0
+    if opts.cluster_scan:
+        part = _cluster_partition(scene, opts)
+        if part is not None:
+            # gathered cluster scan: swap in the partition's reordered
+            # scene (globals first, then grid-cell clusters); the kernel
+            # gathers the winner's ORIGINAL index (uuid) so picking/debug
+            # parity is preserved
+            scene = part.scene
+            caux = (part.bounds, part.uuid)
+            n_global = part.n_global
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
         interpret, k_slots, debug=debug, static_split=static_split,
-        sample_offset=sample_offset,
+        sample_offset=sample_offset, caux=caux, n_global=n_global,
     )

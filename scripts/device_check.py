@@ -217,6 +217,31 @@ def main() -> int:
         f"(chunk maxdiff {chunk_max:.2e}, mean|d| vs random {mad_s:.4f})",
     )
 
+    # 6. gathered cluster scan (round 4): per-lane tpu.dynamic_gather +
+    # bounce-done-masked regeneration must reproduce the flat scan
+    # BITWISE on hardware (proven in interpret mode; this catches Mosaic
+    # lowering/numerics divergence in the gather, the lexicographic
+    # extract, and the banked winner fetch). ADVISORY ONLY (WARN, not a
+    # gate): cluster_scan is opt-in and scripts/bench_cluster.py is its
+    # adopt/reject decision point — an experimental-kernel lowering
+    # failure must not block the fixed-spp BENCH capture this gate
+    # protects. cpi=1 and cpi=2 exercise both extract shapes cheaply.
+    for cpi in (1, 2):
+        opts_cl = dataclasses.replace(
+            opts32, cluster_scan=True, cluster_cpi=cpi
+        )
+        try:
+            img_cl = np.asarray(pk.render_image_pallas(
+                scene, dcam, 256, 64, 32, k7, opts_cl
+            ))
+            ok_cl = bool(np.array_equal(img_cl, imgp))
+            detail = f"(maxdiff {np.abs(img_cl - imgp).max():.2e})"
+        except Exception as e:  # lowering/compile failure is the finding
+            ok_cl = False
+            detail = f"({type(e).__name__}: {str(e)[:120]})"
+        status = "ok" if ok_cl else "WARN (advisory, not gating)"
+        print(f"[device-check] cluster-scan-cpi{cpi}: {status} {detail}")
+
     if FAILURES:
         print(f"[device-check] FAILED: {', '.join(FAILURES)}")
         return 1

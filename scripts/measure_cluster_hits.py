@@ -160,7 +160,7 @@ def elops_model(k_pad, group, n_global, trips):
     return broad + glob + trips * step + winner
 
 
-def elops_regen_model(k_pad, group, n_global, iters_mean):
+def elops_regen_model(k_pad, group, n_global, iters_mean, cpi=1):
     """Regeneration-integrated design: ONE cluster-step per loop
     iteration; a lane whose list empties scatters + starts its next
     bounce in place. Per-lane variance is absorbed exactly like path
@@ -169,14 +169,22 @@ def elops_regen_model(k_pad, group, n_global, iters_mean):
     raygen, accumulators ~ the roofline's measured 21% non-scan share ≈
     1500-2500 el-ops) plus the broad phase re-running every iteration
     (SIMD: mid-list lanes pay it even though only regenerating lanes
-    need it)."""
+    need it).
+
+    ``cpi`` = clusters tested per iteration: each iteration extracts the
+    cpi nearest unvisited clusters (cpi masked argmin passes) and exact-
+    tests group*cpi gathered members. Fixed + broad-phase work amortizes
+    over cpi clusters, trading member-test over-fetch (lanes with fewer
+    remaining clusters than cpi still pay the full gather) for fewer
+    iterations — the caller passes iters_mean already computed as
+    mean(max(ceil(tested/cpi), 1))."""
     fixed = 1800.0
     step = (
         18.0 * k_pad          # broad bounds (every iteration)
         + 21.0 * n_global     # globals (every iteration)
-        + 4.5 * k_pad         # extract nearest unvisited
-        + (4.0 + 21.0) * group  # gather fetch + exact member test
-        + 30.0                # best-hit update
+        + 4.5 * k_pad * cpi   # extract nearest unvisited, cpi times
+        + (4.0 + 21.0) * group * cpi  # gather fetch + exact member test
+        + 30.0 * cpi          # best-hit update
         + fixed
     )
     winner = 10.0 * (group + 4)
@@ -270,10 +278,6 @@ def main():
         e128 = expected_max(counts, 128, rng=rng)
         e1024 = expected_max(counts, 1024, rng=rng)
         el = elops_model(k_pad, group, g.n_global, e1024)
-        # regeneration-integrated: a 0-cluster bounce still takes one
-        # iteration (scatter + regen happen in it)
-        iters = np.maximum(counts, 1).mean()
-        el_r = elops_regen_model(k_pad, group, g.n_global, iters)
         print(
             f"cell={cell} group={group}: K={k} (pad {k_pad}) "
             f"globals={g.n_global} slots={len(uuid)}\n"
@@ -284,14 +288,23 @@ def main():
             f"  tested      mean {counts.mean():.2f}  p90 "
             f"{np.percentile(counts, 90):.0f}  p99 "
             f"{np.percentile(counts, 99):.0f}  max {counts.max()}\n"
-            f"  E[max/128-row] {e128:.1f}   E[max/1024-tile] {e1024:.1f}   "
-            f"iters/segment (regen) {iters:.2f}\n"
+            f"  E[max/128-row] {e128:.1f}   E[max/1024-tile] {e1024:.1f}\n"
             f"  nested-while: ~{el:.0f} el-ops vs flat {FLAT_ELOPS:.0f} "
-            f"scan -> op cut {FLAT_ELOPS / el:.2f}x\n"
-            f"  regen-step:   ~{el_r:.0f} el-ops vs flat TOTAL "
-            f"{FLAT_TOTAL:.0f} -> projected speedup "
-            f"{FLAT_TOTAL / el_r:.2f}x"
+            f"scan -> op cut {FLAT_ELOPS / el:.2f}x"
         )
+        # regeneration-integrated: a 0-cluster bounce still takes one
+        # iteration (scatter + regen happen in it); with cpi clusters
+        # per iteration a lane needs ceil(tested/cpi) iterations
+        for cpi in [
+            int(c) for c in _os.environ.get("MCH_CPI", "1,2,3").split(",")
+        ]:
+            iters = np.maximum(-(-counts // cpi), 1).mean()
+            el_r = elops_regen_model(k_pad, group, g.n_global, iters, cpi)
+            print(
+                f"  regen-step cpi={cpi}: iters/segment {iters:.2f}  "
+                f"~{el_r:.0f} el-ops vs flat TOTAL {FLAT_TOTAL:.0f} "
+                f"-> projected speedup {FLAT_TOTAL / el_r:.2f}x"
+            )
 
 
 if __name__ == "__main__":

@@ -503,3 +503,161 @@ def test_stratified_matches_jnp_and_chunk_invariant(monkeypatch):
     monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a: 3)
     split = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 8, key, o4))
     np.testing.assert_allclose(whole, split, rtol=1e-5, atol=1e-6)
+
+
+def test_scan_mxu_matches_standard_and_jnp(monkeypatch):
+    """TraceOptions.scan_mxu=True: the MXU dot-product offload of the
+    closest-hit scan. In interpret mode the matmuls are f32-exact, so
+    the only divergence from the standard kernel is summation ORDER in
+    nb / c_coef (matmul accumulation vs the fma chain) plus the exact
+    winner re-evaluation — images must agree to rounding noise and stay
+    within the standard statistical band of the jnp tracer. Exercises
+    the split-scan (glass scene => self-test carries) and the sorted
+    multi-chunk (permuted pixel_map) input plumbing."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("demo", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    opts = TraceOptions(max_depth=6)
+    opts_m = dataclasses.replace(opts, scan_mxu=True)
+    img_s = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 8, key, opts))
+    img_m = np.asarray(
+        pk.render_image_pallas(scene, dcam, W, H, 8, key, opts_m)
+    )
+    # ulp-level t differences can flip isolated boundary decisions for a
+    # few samples; the mean must stay far below physics tolerance
+    assert np.abs(img_m - img_s).mean() < 5e-3
+    img_j = np.asarray(render_image_jnp(scene, dcam, W, H, 8, key, opts))
+    assert np.abs(img_m - img_j).mean() < 0.03
+
+    # deterministic
+    img_m2 = np.asarray(
+        pk.render_image_pallas(scene, dcam, W, H, 8, key, opts_m)
+    )
+    np.testing.assert_array_equal(img_m, img_m2)
+
+    # sorted multi-chunk path: mxt_ref + pix_ref unpack order
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 3)
+    img_mc = np.asarray(
+        pk.render_image_pallas(scene, dcam, 64, 32, 8, key, opts_m)
+    )
+    img_sc = np.asarray(
+        pk.render_image_pallas(scene, dcam, 64, 32, 8, key, opts)
+    )
+    assert np.abs(img_mc - img_sc).mean() < 5e-3
+
+
+def test_cluster_scan_bitwise_equals_flat(monkeypatch):
+    """TraceOptions.cluster_scan: the gathered cluster scan must produce
+    BITWISE-identical images and segment counts to the flat scan — the
+    member/global exact tests mirror the flat arithmetic op-for-op and
+    the conservative bound walk visits every sphere that can win (only
+    exact q ties may differ: visit order vs lowest slot — none occur on
+    these scenes). Covers the single-chunk, sorted multi-chunk, and
+    stratified paths on the 487-sphere cover partition."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5)
+    opts_c = dataclasses.replace(opts, cluster_scan=True)
+
+    part = pk._cluster_partition(scene, opts_c)
+    assert part is not None
+    assert part.bounds.shape[0] > 1 and part.n_global >= 1
+    # every active sphere appears exactly once in the reordered slots
+    uu = np.asarray(part.uuid)
+    assert sorted(uu[uu >= 0]) == list(range(scene.count))
+
+    img_s, st_s = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts, return_stats=True
+    )
+    img_c, st_c = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts_c, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_s))
+    assert float(st_c["segments"]) == float(st_s["segments"])
+
+    # sorted multi-chunk (profile + plan + fused scan) and stratified
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 3)
+    for sampler in ("random", "stratified"):
+        o1 = dataclasses.replace(opts, sampler=sampler)
+        o2 = dataclasses.replace(opts_c, sampler=sampler)
+        a = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o1))
+        b = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o2))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_cluster_scan_adaptive_and_fallbacks(monkeypatch):
+    """Adaptive cluster renders match flat bitwise; traced scenes and
+    cluster-free scenes fall back to the flat scan cleanly."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("demo", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(2)
+    opts = TraceOptions(
+        max_depth=8, russian_roulette_depth=5, sampler="stratified",
+        adaptive_tolerance=0.3,
+    )
+    opts_c = dataclasses.replace(opts, cluster_scan=True)
+    # force the multi-chunk schedule so the adaptive machinery engages
+    # (a single-chunk render strips the tolerance and runs fixed-spp)
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 4)
+    a, sa = pk.render_image_pallas(
+        scene, dcam, W, H, 16, key, opts, return_stats=True
+    )
+    b, sb = pk.render_image_pallas(
+        scene, dcam, W, H, 16, key, opts_c, return_stats=True
+    )
+    assert "mean_spp" in sa, "adaptive gate did not engage"
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["mean_spp"]) == float(sb["mean_spp"])
+
+    # traced scene inside jit: partition gate returns None, flat path
+    # serves the render (no crash, same image as the eager cluster call)
+    o = dataclasses.replace(opts_c, adaptive_tolerance=0.0)
+    eager = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 2,
+                                              key, o))
+    jitted = np.asarray(jax.jit(
+        lambda s: pk.render_image_pallas(s, dcam, 64, 32, 2, key, o)
+    )(scene))
+    np.testing.assert_array_equal(eager, jitted)
+
+
+def test_cluster_scan_debug_overlay():
+    """Debug overlay under cluster_scan: the winner's ORIGINAL sphere id
+    rides the uuid bank through the partition's reorder, so the
+    selection outline (uuid == selected) matches the flat kernel
+    bitwise — including a GLOBAL-slot winner (the ground sphere)."""
+    import dataclasses
+
+    from raytracer_tpu.render.options import DebugParams
+
+    scene, cam, *_ = presets.get_config("two_sphere", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(3)
+    opts = TraceOptions(max_depth=4, enable_debug=True)
+    opts_c = dataclasses.replace(opts, cluster_scan=True)
+    for dbg in (
+        DebugParams(  # cursor on the small (clustered) sphere's surface
+            cursor_point=jnp.asarray([0.0, 0.0, -0.5], jnp.float32),
+            selected_object=jnp.asarray(0, jnp.int32),
+        ),
+        DebugParams(  # outline on the ground = GLOBAL slot, uuid 1
+            cursor_point=jnp.asarray([100.0, 100.0, 100.0], jnp.float32),
+            selected_object=jnp.asarray(1, jnp.int32),
+        ),
+    ):
+        a = np.asarray(pk.render_image_pallas(
+            scene, dcam, W, H, 8, key, opts, dbg
+        ))
+        b = np.asarray(pk.render_image_pallas(
+            scene, dcam, W, H, 8, key, opts_c, dbg
+        ))
+        np.testing.assert_array_equal(a, b)
+    # the outline actually fired (red-dominant band on the ground)
+    red = b[..., 0] - np.maximum(b[..., 1], b[..., 2])
+    assert (red > 0.2).sum() > 0

@@ -351,3 +351,27 @@ def test_sharded_stratified_progressive_matches_single_chip(setup, key):
     f1 = np.asarray(state_j.accum)
     assert not np.array_equal(f0, f1)
     assert np.isfinite(f1).all() and (f1 >= 0).all() and (f1 <= 1).all()
+
+
+def test_sharded_pallas_cluster_scan_matches_flat(key):
+    """cluster_scan under shard_map: the host partition is built once
+    outside the mesh and its tables ride replicated into every shard —
+    the sharded cluster render must equal the sharded flat render
+    BITWISE (same argument as single-chip: mirrored exact arithmetic,
+    conservative walk), with equal segment counts."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+
+    scene, cam, *_ = presets.get_config("demo", W, H)
+    opts = TraceOptions(max_depth=4)
+    opts_c = dataclasses.replace(opts, cluster_scan=True)
+    mesh = make_mesh((4, 2))
+    a, sa = render_image_sharded_pallas(
+        scene, cam, W, H, 4, key, mesh, opts, return_stats=True
+    )
+    b, sb = render_image_sharded_pallas(
+        scene, cam, W, H, 4, key, mesh, opts_c, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["segments"]) == float(sb["segments"])
