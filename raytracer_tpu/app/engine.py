@@ -62,6 +62,7 @@ class Engine:
         exhaust_black: bool = False,
         russian_roulette_depth: int = 0,
         sampler: str = "random",
+        cluster_scan: bool = False,
     ):
         self.scene = scene
         self.camera = camera
@@ -80,6 +81,12 @@ class Engine:
         self.exhaust_black = exhaust_black
         self.russian_roulette_depth = russian_roulette_depth
         self.sampler = sampler
+        # gathered cluster scan for the interactive session: the engine's
+        # scene is fixed (Reset restores the construction default), so
+        # the step factory can host-build the partition once per compiled
+        # step — the partition reads no camera state, so the fly-cam
+        # never invalidates it
+        self.cluster_scan = cluster_scan
         self._seed = seed
         self.render_state: RenderState = init_render_state(
             width, height, jax.random.PRNGKey(seed)
@@ -130,6 +137,7 @@ class Engine:
                 backend=self.backend,
                 russian_roulette_depth=self.russian_roulette_depth,
                 sampler=self.sampler,
+                cluster_scan=self.cluster_scan,
             )
             self._step_cache[key] = make_step_fn(
                 self.app.width,
@@ -139,6 +147,7 @@ class Engine:
                 should_average=self.app.should_average,
                 last_frame_weight=self.app.last_frame_weight,
                 max_render_count=self.app.max_render_count,
+                static_scene=self.scene if self.cluster_scan else None,
             )
             while len(self._step_cache) > self._STEP_CACHE_MAX:
                 self._step_cache.pop(next(iter(self._step_cache)))

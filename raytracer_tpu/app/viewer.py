@@ -164,10 +164,12 @@ def run_viewer(
     target_fps: float = 30.0,
     cols: int = 100,
     sampler: str = "random",
+    cluster_scan: bool = False,
 ):
     scene, cam, *_ = presets.get_config(config, width, height)
     engine = Engine(scene, cam, width, height, spp=1, max_depth=8,
-                    backend=backend, sampler=sampler)
+                    backend=backend, sampler=sampler,
+                    cluster_scan=cluster_scan)
     engine.set_paused(False)
 
     held: dict = {}
@@ -266,9 +268,14 @@ if __name__ == "__main__":
         help="camera-sample sequencer (stratified = per-pixel "
         "low-discrepancy accumulation across frames)",
     )
+    p.add_argument(
+        "--cluster-scan", action="store_true",
+        help="gathered cluster scan (Pallas backend; the fixed viewer "
+        "scene lets the partition build once per compiled step)",
+    )
     a = p.parse_args()
     from raytracer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
     run_viewer(a.config, a.width, a.height, a.backend, a.max_frames,
-               cols=a.cols, sampler=a.sampler)
+               cols=a.cols, sampler=a.sampler, cluster_scan=a.cluster_scan)

@@ -88,15 +88,29 @@ def make_step_fn(
     # fixed-scene sessions: run the split-scan analysis once at build time
     # on the concrete hints (traced scenes can't be analyzed per frame)
     perm, g_full = None, None
-    if (opts.backend == "pallas" and static_scene is not None
-            and static_camera is not None and not opts.enable_debug):
+    static_cluster = None
+    if opts.backend == "pallas" and static_scene is not None:
         from raytracer_tpu.render import pallas_kernel as pk
 
-        split = pk._containable_split(
-            static_scene, derive_camera(static_camera), opts
-        )
-        if split is not None:
-            perm, g_full = split
+        if opts.cluster_scan:
+            # gathered cluster scan for fixed-scene sessions: the
+            # partition (bounds + slot layout) is host-built ONCE from
+            # the hint; each frame's traced scene is gathered into it
+            # inside the step. Same contract as static_scene: the
+            # per-frame geometry must match the hint, or the prebuilt
+            # bounds stop being conservative. Unlike the containable
+            # split below, the partition does NOT read the camera, so a
+            # flying-camera session may pass static_scene alone.
+            part = pk._cluster_partition(static_scene, opts)
+            if part is not None:
+                static_cluster = (part.bounds, part.uuid, part.n_global)
+        if (static_cluster is None and static_camera is not None
+                and not opts.enable_debug):
+            split = pk._containable_split(
+                static_scene, derive_camera(static_camera), opts
+            )
+            if split is not None:
+                perm, g_full = split
 
     if opts.adaptive_tolerance > 0.0:
         # progressive accumulation running-averages FIXED-spp frames;
@@ -138,6 +152,7 @@ def make_step_fn(
                 static_split=(
                     (perm, g_full) if g_full is not None else None
                 ),
+                static_cluster=static_cluster,
             )
         else:
             color, stats = render_image_jnp(

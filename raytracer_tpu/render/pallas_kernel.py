@@ -1341,6 +1341,33 @@ def _cluster_partition(scene: Scene, opts: TraceOptions):
     return g
 
 
+def _cluster_reorder(scene: Scene, uuid) -> Scene:
+    """Reorder a (possibly TRACED) scene into a prebuilt partition's slot
+    layout — the progressive static-hint path (``static_cluster`` in
+    :func:`render_image_pallas`): the partition's uuid/bounds were built
+    once from concrete hints at factory time, and each frame's traced
+    scene values are gathered into that fixed layout here. Fill values
+    mirror ``scene/accel.py build_grid_clustered`` exactly (padding
+    slots inactive, radius/refraction 1 so reciprocals stay finite)."""
+    safe = jnp.maximum(uuid, 0)
+    live = uuid >= 0
+
+    def take(a, fill):
+        g = a[safe]
+        mask = live[:, None] if g.ndim == 2 else live
+        return jnp.where(mask, g, jnp.asarray(fill, g.dtype))
+
+    return Scene(
+        center=take(scene.center, 0.0),
+        radius=take(scene.radius, 1.0),
+        material_type=take(scene.material_type, 0),
+        albedo=take(scene.albedo, 0.0),
+        fuzz=take(scene.fuzz, 0.0),
+        refraction_index=take(scene.refraction_index, 1.0),
+        active=live.astype(jnp.float32),
+    )
+
+
 def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
                     group: int, r_sub: int):
     """Device tables of the gathered cluster scan (see _make_kernel).
@@ -2582,6 +2609,7 @@ def render_image_pallas(
     k_slots: int = 4,
     static_split=None,
     sample_offset=0,
+    static_cluster=None,
 ):
     """Pallas megakernel render.
 
@@ -2610,15 +2638,25 @@ def render_image_pallas(
         k_slots //= 2
     caux, n_global = None, 0
     if opts.cluster_scan:
-        part = _cluster_partition(scene, opts)
-        if part is not None:
-            # gathered cluster scan: swap in the partition's reordered
-            # scene (globals first, then grid-cell clusters); the kernel
-            # gathers the winner's ORIGINAL index (uuid) so picking/debug
-            # parity is preserved
-            scene = part.scene
-            caux = (part.bounds, part.uuid)
-            n_global = part.n_global
+        if static_cluster is not None:
+            # progressive static-hint path: the partition was built once
+            # at factory time from concrete hints (same contract as
+            # static_split — the per-frame scene must match the hint's
+            # GEOMETRY, or the prebuilt bounds stop being conservative);
+            # the traced scene is gathered into its slot layout here
+            bounds, uuid, n_global = static_cluster
+            scene = _cluster_reorder(scene, uuid)
+            caux = (bounds, uuid)
+        else:
+            part = _cluster_partition(scene, opts)
+            if part is not None:
+                # gathered cluster scan: swap in the partition's
+                # reordered scene (globals first, then grid-cell
+                # clusters); the kernel gathers the winner's ORIGINAL
+                # index (uuid) so picking/debug parity is preserved
+                scene = part.scene
+                caux = (part.bounds, part.uuid)
+                n_global = part.n_global
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
         interpret, k_slots, debug=debug, static_split=static_split,

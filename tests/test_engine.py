@@ -226,3 +226,22 @@ def test_step_cache_is_lru_bounded():
     e._step_fn(1)  # hit → moves to most-recent
     assert next(iter(e._step_cache)) != oldest_live
     assert len(e._step_cache) == cap
+
+
+def test_engine_cluster_scan_matches_flat():
+    """Engine(cluster_scan=True): the step factory host-builds the
+    partition from the engine's fixed scene (no camera dependence — the
+    fly-cam can move freely) and frames stay bitwise-identical to the
+    flat-scan engine."""
+    a = make_engine(backend="pallas")
+    b = make_engine(backend="pallas", cluster_scan=True)
+    for eng in (a, b):
+        eng.set_paused(False)
+        eng.tick(0.0)
+        # fly-cam motion: the camera diverges from construction time, the
+        # scene (and thus the prebuilt partition) does not
+        eng.handle_key("w", True)
+        eng.tick(16.0)
+    np.testing.assert_array_equal(
+        np.asarray(a.render_state.accum), np.asarray(b.render_state.accum)
+    )
