@@ -57,7 +57,13 @@ def _bench_one(config, backend, repeats, spp_override=None):
     opts = TraceOptions(
         max_depth=depth, backend=backend, russian_roulette_depth=rr,
         scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
-        cluster_scan=os.environ.get("BENCH_CLUSTER", "0") == "1",
+        # cluster culling only pays once the flat scan is big (the broad
+        # phase is pure overhead at <=8 sphere slots) — the matrix's tiny
+        # configs keep the flat scan even under BENCH_CLUSTER=1
+        cluster_scan=(
+            os.environ.get("BENCH_CLUSTER", "0") == "1"
+            and scene.count >= 64
+        ),
         cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
     )
     key = jax.random.PRNGKey(0)
@@ -264,9 +270,13 @@ def main() -> int:
             sampler=os.environ.get("BENCH_SAMPLER", "random"),
             # BENCH_SCAN_MXU=1 / BENCH_CLUSTER=1: scan variants, set
             # by the device session when the A/B scripts
-            # (bench_scan_mxu.py / bench_cluster.py) print ADOPT
+            # (bench_scan_mxu.py / bench_cluster.py) print ADOPT; the
+            # cluster gate mirrors _bench_one (tiny scenes stay flat)
             scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
-            cluster_scan=os.environ.get("BENCH_CLUSTER", "0") == "1",
+            cluster_scan=(
+                os.environ.get("BENCH_CLUSTER", "0") == "1"
+                and scene.count >= 64
+            ),
             cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
         )
         key = jax.random.PRNGKey(0)

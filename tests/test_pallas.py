@@ -580,14 +580,16 @@ def test_cluster_scan_bitwise_equals_flat(monkeypatch):
     np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_s))
     assert float(st_c["segments"]) == float(st_s["segments"])
 
-    # sorted multi-chunk (profile + plan + fused scan) and stratified
+    # sorted multi-chunk (profile + plan + fused scan), stratified
+    # sampler — ONE sampler only: the random sorted path is already
+    # covered flat-side elsewhere, and every extra config here is a
+    # full CPU compile of the megakernel (suite-time budget)
     monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 3)
-    for sampler in ("random", "stratified"):
-        o1 = dataclasses.replace(opts, sampler=sampler)
-        o2 = dataclasses.replace(opts_c, sampler=sampler)
-        a = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o1))
-        b = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o2))
-        np.testing.assert_array_equal(a, b)
+    o1 = dataclasses.replace(opts, sampler="stratified")
+    o2 = dataclasses.replace(opts_c, sampler="stratified")
+    a = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o1))
+    b = np.asarray(pk.render_image_pallas(scene, dcam, W, H, 9, key, o2))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_cluster_scan_adaptive_and_fallbacks(monkeypatch):
