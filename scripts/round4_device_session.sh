@@ -117,4 +117,25 @@ if [ "${R4_GALLERY:-0}" = "1" ]; then
   fi
 fi
 
+if [ "${R4_SKIP_ABLATIONS:-0}" != "1" ]; then
+  echo "== step 8: opportunistic ledger ablations (VERDICT r3 #5) =="
+  # fused-unsorted re-measure (sorted vs unsorted, bitwise gate)
+  if timeout 3600 python scripts/bench_unsorted.py 500 \
+      > "$LOG/unsorted.log" 2>&1; then
+    tail -3 "$LOG/unsorted.log"
+  else
+    echo "unsorted A/B failed (non-fatal); see $LOG/unsorted.log"
+    tail -5 "$LOG/unsorted.log"
+  fi
+  # K=8 virtual tiles at a reduced spp (VMEM bounds the chunk; a
+  # compile/VMEM failure is itself the recorded result)
+  if timeout 3600 python scripts/bench_kslots.py 8 200 5 \
+      > "$LOG/kslots8.log" 2>&1; then
+    tail -3 "$LOG/kslots8.log"
+  else
+    echo "K=8 run failed (recorded; see $LOG/kslots8.log)"
+    tail -5 "$LOG/kslots8.log"
+  fi
+fi
+
 echo "== done; logs in $LOG =="
