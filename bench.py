@@ -65,6 +65,7 @@ def _bench_one(config, backend, repeats, spp_override=None):
             and scene.count >= 64
         ),
         cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
+        cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "sphere"),
     )
     key = jax.random.PRNGKey(0)
 
@@ -278,6 +279,7 @@ def main() -> int:
                 and scene.count >= 64
             ),
             cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
+            cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "sphere"),
         )
         key = jax.random.PRNGKey(0)
 

@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
         "no small-sphere clusters)",
     )
     p.add_argument(
+        "--cluster-bounds",
+        choices=("sphere", "box"),
+        default="sphere",
+        help="cluster broad-phase bound shape (with --cluster-scan): "
+        "'sphere' (conservative bounding sphere) or 'box' (member AABB "
+        "slab test — tighter for thin-slab scenes like the cover)",
+    )
+    p.add_argument(
         "--book-physics",
         action="store_true",
         help="canonical RTiOW physics (black on depth exhaustion + near-zero "
@@ -132,6 +140,7 @@ def main(argv=None) -> int:
         sampler=args.sampler,
         scan_mxu=args.scan_mxu,
         cluster_scan=args.cluster_scan,
+        cluster_bounds=args.cluster_bounds,
     )
     key = jax.random.PRNGKey(args.seed)
 

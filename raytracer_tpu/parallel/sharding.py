@@ -303,7 +303,7 @@ def render_image_sharded_pallas(
         part = pk._cluster_partition(scene, opts)
         if part is not None:
             scene = part.scene
-            caux = (part.bounds, part.uuid)
+            caux = (pk._part_bounds(part, opts), part.uuid)
             n_global = part.n_global
 
     if caux is not None:

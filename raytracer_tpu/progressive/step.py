@@ -103,7 +103,9 @@ def make_step_fn(
             # flying-camera session may pass static_scene alone.
             part = pk._cluster_partition(static_scene, opts)
             if part is not None:
-                static_cluster = (part.bounds, part.uuid, part.n_global)
+                static_cluster = (
+                    pk._part_bounds(part, opts), part.uuid, part.n_global
+                )
         if (static_cluster is None and static_camera is not None
                 and not opts.enable_debug):
             split = pk._containable_split(

@@ -138,6 +138,19 @@ class TraceOptions:
     #: per-iteration fixed work over more member tests; the cost model in
     #: scripts/measure_cluster_hits.py sizes this)
     cluster_cpi: int = 2
+    #: broad-phase bound shape: 'sphere' (center + conservative radius,
+    #: ~24 VPU ops/bound-row) or 'box' (member AABB slab test, ~27 ops).
+    #: The cover's small spheres sit in a thin slab over the ground
+    #: plane, so a grid cell's AABB (~cell x ~1.4 x cell) is far tighter
+    #: than its bounding sphere (radius ~ half the cell diagonal) for
+    #: the near-horizontal rays that dominate: measured on real cover
+    #: segment populations the mean tested-clusters/segment drops ~2.4x
+    #: (scripts/measure_cluster_hits.py [box] rows). Both bounds are
+    #: CONSERVATIVE (the box contains every member sphere), so hit
+    #: results are identical — only broad-phase visit ORDER can differ,
+    #: which the exact member tests make invisible except on exact
+    #: q ties. Device A/B: scripts/bench_cluster.py sweeps both.
+    cluster_bounds: str = "sphere"
     #: grid cell size of the cluster partition (world units over (x, z))
     cluster_cell: float = 4.0
     #: spheres per cluster (gather/test granularity)
@@ -157,6 +170,11 @@ class TraceOptions:
         if self.cluster_cpi < 1:
             raise ValueError(
                 f"cluster_cpi must be >= 1, got {self.cluster_cpi}"
+            )
+        if self.cluster_bounds not in ("sphere", "box"):
+            raise ValueError(
+                f"cluster_bounds must be 'sphere' or 'box', got "
+                f"{self.cluster_bounds!r}"
             )
         if self.cluster_scan and self.scan_mxu:
             raise ValueError(

@@ -524,10 +524,43 @@ def _make_kernel(
 
                 # broad phase: cluster bounds on SUBLANES per ray row
                 # (the flat scan's layout), conservative entry in q-space
-                b_cx = bnd_ref[:, 0:1]
-                b_cy = bnd_ref[:, 1:2]
-                b_cz = bnd_ref[:, 2:3]
-                b_k1 = bnd_ref[:, 3:4]
+                box_bounds = opts.cluster_bounds == "box"
+                if box_bounds:
+                    # member-AABB slab test (TraceOptions.cluster_bounds
+                    # ='box'): the cover's small spheres form a thin slab
+                    # over the ground, so the AABB is far tighter than
+                    # the bounding sphere for near-horizontal rays —
+                    # measured ~2.4x fewer tested clusters/segment
+                    # (scripts/measure_cluster_hits.py). Same cost class
+                    # (~27 vs ~24 ops/bound-row). Direction reciprocals
+                    # are eps-clamped so no product can reach f32 inf
+                    # (|coord| <= ~1e3, eps 1e-12 -> q <= ~1e17; padding
+                    # boxes at lo = hi = 1e9 land beyond the 1e20
+                    # candidate cutoff below instead of overflowing).
+                    b_lox = bnd_ref[:, 0:1]
+                    b_loy = bnd_ref[:, 1:2]
+                    b_loz = bnd_ref[:, 2:3]
+                    b_hix = bnd_ref[:, 3:4]
+                    b_hiy = bnd_ref[:, 4:5]
+                    b_hiz = bnd_ref[:, 5:6]
+                    beps = jnp.float32(1e-12)
+                    inv_dx = 1.0 / jnp.where(
+                        dx >= 0.0, jnp.maximum(dx, beps),
+                        jnp.minimum(dx, -beps),
+                    )
+                    inv_dy = 1.0 / jnp.where(
+                        dy >= 0.0, jnp.maximum(dy, beps),
+                        jnp.minimum(dy, -beps),
+                    )
+                    inv_dz = 1.0 / jnp.where(
+                        dz >= 0.0, jnp.maximum(dz, beps),
+                        jnp.minimum(dz, -beps),
+                    )
+                else:
+                    b_cx = bnd_ref[:, 0:1]
+                    b_cy = bnd_ref[:, 1:2]
+                    b_cz = bnd_ref[:, 2:3]
+                    b_k1 = bnd_ref[:, 3:4]
                 # i32 iota + convert (the kernel's established pattern —
                 # a direct f32 iota is an untested Mosaic lowering)
                 idx_iota = jax.lax.broadcasted_iota(
@@ -548,24 +581,56 @@ def _make_kernel(
                     odd_r = o_dot_d[row : row + 1]
                     ooo_r = o_dot_o[row : row + 1]
                     min_q = min_t_a[row : row + 1]
-                    cdd = b_cx * dxr + b_cy * dyr + b_cz * dzr
-                    cdo = b_cx * oxr + b_cy * oyr + b_cz * ozr
-                    nbb = cdd - odd_r
-                    ccb = ooo_r - 2.0 * cdo + b_k1
-                    dsb = nbb * nbb - a_r * ccb
-                    sqb = jnp.where(
-                        dsb >= 0.0, jnp.sqrt(jnp.abs(dsb)),
-                        jnp.float32(-3e38),
-                    )
-                    # entry = max(q_near, min_q) when the bound is hit at
-                    # all (q_far >= min_q; disc < 0 poisons q_far to
-                    # -3e38 < min_q), else FILLQ. Origin inside the bound
-                    # clips to min_q - visited before everything.
-                    qe = jnp.where(
-                        nbb + sqb >= min_q,
-                        jnp.maximum(nbb - sqb, min_q),
-                        FILLQ,
-                    )
+                    if box_bounds:
+                        # slab test in t, compared in q-space (q = a·t,
+                        # the scan's comparison space). Origin inside
+                        # the box clips to min_q — visited before
+                        # everything (self-reentry resolves first, like
+                        # the sphere bound). Entries past 1e20 (padding
+                        # boxes, eps-clamped parallel axes) demote to
+                        # FILLQ = not a candidate: real geometry sits
+                        # at q <= a·MAX_T ~ 1e7.
+                        ivx = inv_dx[row : row + 1]
+                        ivy = inv_dy[row : row + 1]
+                        ivz = inv_dz[row : row + 1]
+                        t1 = (b_lox - oxr) * ivx
+                        t2 = (b_hix - oxr) * ivx
+                        tn = jnp.minimum(t1, t2)
+                        tf = jnp.maximum(t1, t2)
+                        t1 = (b_loy - oyr) * ivy
+                        t2 = (b_hiy - oyr) * ivy
+                        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                        t1 = (b_loz - ozr) * ivz
+                        t2 = (b_hiz - ozr) * ivz
+                        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                        qn_q = jnp.maximum(tn * a_r, min_q)
+                        hitb = (
+                            (tf >= tn) & (tf * a_r >= min_q)
+                            & (qn_q < jnp.float32(1e20))
+                        )
+                        qe = jnp.where(hitb, qn_q, FILLQ)
+                    else:
+                        cdd = b_cx * dxr + b_cy * dyr + b_cz * dzr
+                        cdo = b_cx * oxr + b_cy * oyr + b_cz * ozr
+                        nbb = cdd - odd_r
+                        ccb = ooo_r - 2.0 * cdo + b_k1
+                        dsb = nbb * nbb - a_r * ccb
+                        sqb = jnp.where(
+                            dsb >= 0.0, jnp.sqrt(jnp.abs(dsb)),
+                            jnp.float32(-3e38),
+                        )
+                        # entry = max(q_near, min_q) when the bound is
+                        # hit at all (q_far >= min_q; disc < 0 poisons
+                        # q_far to -3e38 < min_q), else FILLQ. Origin
+                        # inside the bound clips to min_q - visited
+                        # before everything.
+                        qe = jnp.where(
+                            nbb + sqb >= min_q,
+                            jnp.maximum(nbb - sqb, min_q),
+                            FILLQ,
+                        )
                     qlr = ql[row : row + 1]
                     ilr = il[row : row + 1]
                     for j in range(cpi):
@@ -1341,6 +1406,12 @@ def _cluster_partition(scene: Scene, opts: TraceOptions):
     return g
 
 
+def _part_bounds(part, opts: TraceOptions):
+    """Broad-phase bound table of a partition per opts.cluster_bounds:
+    (K, 4) bound spheres or (K, 6) member AABBs (see _cluster_tables)."""
+    return part.boxes if opts.cluster_bounds == "box" else part.bounds
+
+
 def _cluster_reorder(scene: Scene, uuid) -> Scene:
     """Reorder a (possibly TRACED) scene into a prebuilt partition's slot
     layout — the progressive static-hint path (``static_cluster`` in
@@ -1372,9 +1443,13 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
                     group: int, r_sub: int):
     """Device tables of the gathered cluster scan (see _make_kernel).
 
-    - btab (K_pad, 4): cluster bound spheres [bcx, bcy, bcz, bk1] on
-      sublanes (bk1 = |bc|² − br²); empty/padding clusters are encoded
-      unhittable exactly like _slot_encoding's inactive slots.
+    - btab (K_pad, 4) bound SPHERES [bcx, bcy, bcz, bk1] (bk1 = |bc|² −
+      br²) or (K_pad, 6) member AABBs [lo xyz, hi xyz] when ``bounds``
+      has 6 columns (TraceOptions.cluster_bounds='box'); empty/padding
+      clusters are encoded unhittable — sphere rows like
+      _slot_encoding's inactive slots, box rows as the degenerate
+      distant point lo = hi = 1e9 (its entry q lands beyond the
+      kernel's 1e20 candidate cutoff without producing f32 infs).
     - mtab (group·4, r_sub, LANES): member exact-test params — row
       4m+p holds param p ∈ [cx, cy, cz, k1] of every cluster's m-th
       member at that cluster's LANE, pre-broadcast over sublanes (the
@@ -1391,16 +1466,22 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
     k_pad = max(8, -(-k // 8) * 8)
     act, c, k1 = _slot_encoding(scene)
     n_slots = scene.count
-    br = bounds[:, 3]
-    okb = br > 0.0
-    bc = jnp.where(okb[:, None], bounds[:, :3], 0.0)
-    bk1 = jnp.where(okb, jnp.sum(bc * bc, axis=-1) - br * br, 1.0)
-    btab = jnp.concatenate(
-        [bc, bk1[:, None]], axis=1
-    ).astype(jnp.float32)
-    if k_pad != k:
-        pad = jnp.zeros((k_pad - k, 4), jnp.float32).at[:, 3].set(1.0)
-        btab = jnp.concatenate([btab, pad], axis=0)
+    if bounds.shape[1] == 6:
+        btab = bounds.astype(jnp.float32)
+        if k_pad != k:
+            pad = jnp.full((k_pad - k, 6), 1e9, jnp.float32)
+            btab = jnp.concatenate([btab, pad], axis=0)
+    else:
+        br = bounds[:, 3]
+        okb = br > 0.0
+        bc = jnp.where(okb[:, None], bounds[:, :3], 0.0)
+        bk1 = jnp.where(okb, jnp.sum(bc * bc, axis=-1) - br * br, 1.0)
+        btab = jnp.concatenate(
+            [bc, bk1[:, None]], axis=1
+        ).astype(jnp.float32)
+        if k_pad != k:
+            pad = jnp.zeros((k_pad - k, 4), jnp.float32).at[:, 3].set(1.0)
+            btab = jnp.concatenate([btab, pad], axis=0)
 
     mc = c[n_global:].reshape(k, group, 3)
     mk1 = k1[n_global:].reshape(k, group)
@@ -2655,7 +2736,7 @@ def render_image_pallas(
                 # clusters); the kernel gathers the winner's ORIGINAL
                 # index (uuid) so picking/debug parity is preserved
                 scene = part.scene
-                caux = (part.bounds, part.uuid)
+                caux = (_part_bounds(part, opts), part.uuid)
                 n_global = part.n_global
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,

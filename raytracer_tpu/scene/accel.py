@@ -142,6 +142,13 @@ class GridClusteredScene:
     n_global: int = flax.struct.field(pytree_node=False)
     group: int = flax.struct.field(pytree_node=False)
     uuid: jnp.ndarray  # slot -> original index (-1 padding)
+    #: (K, 6) per-cluster member AABBs [lo xyz, hi xyz] — the alternative
+    #: broad-phase bound (TraceOptions.cluster_bounds='box'). The cover's
+    #: small spheres form a thin slab over the ground, so the AABB
+    #: (~cell x ~1.4 x cell) is far tighter than the bounding sphere
+    #: (radius ~ half the cell diagonal + member radius) for the
+    #: near-horizontal rays that dominate the segment population.
+    boxes: jnp.ndarray = None
 
 
 def build_grid_clustered(
@@ -169,6 +176,7 @@ def build_grid_clustered(
         cells.setdefault(key, []).append(int(i))
 
     bounds = []
+    boxes = []
     slots = []  # original index or -1 per padded slot
     for members in cells.values():
         # split oversize cells into chunks of `group`
@@ -179,6 +187,13 @@ def build_grid_clustered(
             ctr = pts.mean(axis=0)
             rad = float(np.max(np.linalg.norm(pts - ctr, axis=1) + rs))
             bounds.append((*ctr.astype(np.float32), np.float32(rad * 1.0001)))
+            lo = (pts - rs[:, None]).min(axis=0)
+            hi = (pts + rs[:, None]).max(axis=0)
+            # widen by an absolute+relative margin (the sphere bound's
+            # 1.0001 analog) so f32 rounding can't shave a member surface
+            lo = lo - (1e-4 + 1e-4 * np.abs(lo))
+            hi = hi + (1e-4 + 1e-4 * np.abs(hi))
+            boxes.append((*lo.astype(np.float32), *hi.astype(np.float32)))
             slots.extend(chunk + [-1] * (group - len(chunk)))
 
     uuid = np.array(order + slots, dtype=np.int32)
@@ -209,4 +224,5 @@ def build_grid_clustered(
         n_global=n_global,
         group=group,
         uuid=jnp.asarray(uuid),
+        boxes=jnp.asarray(np.array(boxes, np.float32).reshape(-1, 6)),
     )

@@ -8,16 +8,25 @@ the flat scan on measured cover segment populations
 parity but cannot price the gather/extract/while-loop on hardware —
 this script is the decision point:
 
-  1. wall-clock cover render, flat vs cluster at cpi in CPI_LIST
-     (best of 3 each, shared golden-free physics cross-check);
+  1. wall-clock cover render, flat vs cluster at every (bounds, cpi)
+     variant (best of 3 each, shared golden-free physics cross-check);
   2. physics: images must match the flat render BITWISE (they do in
      interpret mode; a device mismatch means a Mosaic lowering bug —
      REJECT regardless of speed).
 
-Prints VERDICT=ADOPT cpi=<best> if any cpi is >= 1.05x faster with
-bitwise parity; VERDICT=REJECT otherwise (exit 0 either way).
+Variants: bounds in {sphere, box} x cpi. The box (member-AABB slab)
+broad phase is the round-4 model favorite — measured cover segment
+populations project 2.85x at box/cpi=1 vs 2.13x at sphere/cpi=2
+(scripts/measure_cluster_hits.py) — but Mosaic issue costs are the
+model's blind spot, hence the on-device sweep.
 
-Usage: python scripts/bench_cluster.py [spp_timing=500] [cpi,cpi,...]
+Prints VERDICT=ADOPT bounds=<kind> cpi=<best> if any variant is
+>= 1.05x faster with bitwise parity; VERDICT=REJECT otherwise
+(exit 0 either way).
+
+Usage: python scripts/bench_cluster.py [spp_timing=500] \
+           [bounds:cpi,... | cpi,...]   (bare cpi implies sphere)
+Default sweep: box:1,box:2,sphere:2,sphere:3 (model-ranked order).
 """
 
 import os as _os
@@ -67,10 +76,16 @@ def time_render(scene, dcam, w, h, spp, opts, key, reps=3):
 
 def main():
     spp_t = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    cpis = (
-        [int(c) for c in sys.argv[2].split(",")]
-        if len(sys.argv) > 2 else [1, 2, 3]
-    )
+    if len(sys.argv) > 2:
+        variants = []
+        for tok in sys.argv[2].split(","):
+            if ":" in tok:
+                b, c = tok.split(":")
+                variants.append((b, int(c)))
+            else:
+                variants.append(("sphere", int(tok)))
+    else:
+        variants = [("box", 1), ("box", 2), ("sphere", 2), ("sphere", 3)]
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
     opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
@@ -82,29 +97,35 @@ def main():
         f"flat={wall_f:.3f}s ({segs_f / wall_f / 1e6:.1f} Mrays/s)"
     )
 
-    best_cpi, best_speedup = None, 0.0
-    for cpi in cpis:
-        oc = dataclasses.replace(opts, cluster_scan=True, cluster_cpi=cpi)
+    best, best_speedup = None, 0.0
+    for bounds, cpi in variants:
+        oc = dataclasses.replace(
+            opts, cluster_scan=True, cluster_cpi=cpi, cluster_bounds=bounds
+        )
+        tag = f"{bounds}:cpi={cpi}"
         try:
             wall_c, segs_c, img_c = time_render(
                 scene, dcam, w, h, spp_t, oc, key
             )
         except Exception as e:  # lowering/compile failure is a result
-            print(f"cpi={cpi}: FAILED {type(e).__name__}: {str(e)[:160]}")
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:160]}")
             continue
         bitwise = np.array_equal(img_c, img_f)
         seg_ok = segs_c == segs_f
         speedup = wall_f / wall_c
         print(
-            f"cpi={cpi}: {wall_c:.3f}s ({segs_c / wall_c / 1e6:.1f} "
+            f"{tag}: {wall_c:.3f}s ({segs_c / wall_c / 1e6:.1f} "
             f"Mrays/s) speedup={speedup:.3f}x bitwise={bitwise} "
             f"segs_equal={seg_ok}"
         )
         if bitwise and seg_ok and speedup > best_speedup:
-            best_cpi, best_speedup = cpi, speedup
+            best, best_speedup = (bounds, cpi), speedup
 
-    if best_cpi is not None and best_speedup >= 1.05:
-        print(f"VERDICT=ADOPT cpi={best_cpi} speedup={best_speedup:.3f}x")
+    if best is not None and best_speedup >= 1.05:
+        print(
+            f"VERDICT=ADOPT bounds={best[0]} cpi={best[1]} "
+            f"speedup={best_speedup:.3f}x"
+        )
     else:
         print("VERDICT=REJECT")
 

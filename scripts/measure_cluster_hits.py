@@ -122,6 +122,26 @@ def ray_sphere_entry(o, d, centers, radii):
     return hit, t_entry
 
 
+def ray_box_entry(o, d, lo, hi):
+    """Per (ray, box): slab test. lo, hi: (K,3). Returns hit (N,K) and
+    t_entry (N,K) = max(t_near, MIN_T) where hit, +inf otherwise.
+
+    Models a per-cluster AABB broad phase: the cover's small spheres sit
+    in a thin slab over the ground plane, so grid-cell AABBs (~cell x
+    ~1.4 x cell) are far tighter than their bounding spheres (radius ~
+    half the cell diagonal + member radius) for near-horizontal rays.
+    In-kernel cost ~25 el-ops/box (invd amortized per iteration) vs the
+    sphere bound's 18 — the model prices that via MCH_BROAD_OPS."""
+    invd = 1.0 / np.where(np.abs(d) < 1e-30, 1e-30, d)  # (N,3)
+    t1 = (lo[None, :, :] - o[:, None, :]) * invd[:, None, :]  # (N,K,3)
+    t2 = (hi[None, :, :] - o[:, None, :]) * invd[:, None, :]
+    tn = np.minimum(t1, t2).max(axis=2)
+    tf = np.maximum(t1, t2).min(axis=2)
+    hit = (tf >= np.maximum(tn, MIN_T)) & (tf >= MIN_T)
+    t_entry = np.where(hit, np.maximum(tn, MIN_T), np.inf)
+    return hit, t_entry
+
+
 def exact_best_t(o, d, centers, radii, active):
     """Reference closest-hit t per ray over the given spheres (near root,
     far-root fallback — tracer.hit_world semantics), +inf on miss."""
@@ -160,7 +180,9 @@ def elops_model(k_pad, group, n_global, trips):
     return broad + glob + trips * step + winner
 
 
-def elops_regen_model(k_pad, group, n_global, iters_mean, cpi=1):
+def elops_regen_model(
+    k_pad, group, n_global, iters_mean, cpi=1, broad_ops=18.0
+):
     """Regeneration-integrated design: ONE cluster-step per loop
     iteration; a lane whose list empties scatters + starts its next
     bounce in place. Per-lane variance is absorbed exactly like path
@@ -180,7 +202,7 @@ def elops_regen_model(k_pad, group, n_global, iters_mean, cpi=1):
     mean(max(ceil(tested/cpi), 1))."""
     fixed = 1800.0
     step = (
-        18.0 * k_pad          # broad bounds (every iteration)
+        broad_ops * k_pad     # broad bounds (every iteration)
         + 21.0 * n_global     # globals (every iteration)
         + 4.5 * k_pad * cpi   # extract nearest unvisited, cpi times
         + (4.0 + 21.0) * group * cpi  # gather fetch + exact member test
@@ -237,11 +259,6 @@ def main():
             o, d, gc[: g.n_global], gr[: g.n_global], gact[: g.n_global]
         )
 
-        # cluster bounds
-        hit, t_entry = ray_sphere_entry(o, d, b[:, :3], b[:, 3])
-        n_hit = hit.sum(axis=1)
-        n_pruned = (hit & (t_entry <= t_glob[:, None])).sum(axis=1)
-
         # exact per-cluster best t (for the sequential tested model)
         csl = gc[g.n_global:].reshape(k, group, 3)
         rsl = gr[g.n_global:].reshape(k, group)
@@ -257,54 +274,82 @@ def main():
                     o[sl], d[sl], csl[ci], rsl[ci], asl[ci]
                 )
 
-        # sequential model: visit hit clusters in t_entry order, stop when
-        # the next entry exceeds the running best; vectorized over rays
-        order = np.argsort(t_entry, axis=1)
-        te_sorted = np.take_along_axis(t_entry, order, axis=1)
-        tc_sorted = np.take_along_axis(t_cl, order, axis=1)
-        best = t_glob.copy()
-        tested = np.zeros(n, np.int64)
-        for j in range(k):
-            # finite-entry check: a non-hit cluster (te = inf) is never
-            # visited even when best = inf (ray misses everything)
-            visit = np.isfinite(te_sorted[:, j]) & (te_sorted[:, j] <= best)
-            tested += visit
-            best = np.where(
-                visit, np.minimum(best, tc_sorted[:, j]), best
-            )
-        counts = tested
+        # per-cluster AABBs over active members (degenerate = never hit)
+        lo = np.full((k, 3), np.inf)
+        hi = np.full((k, 3), -np.inf)
+        for ci in range(k):
+            if not asl[ci].any():
+                continue
+            lo[ci] = (csl[ci][asl[ci]] - rsl[ci][asl[ci], None]).min(axis=0)
+            hi[ci] = (csl[ci][asl[ci]] + rsl[ci][asl[ci], None]).max(axis=0)
 
         k_pad = -(-k // 8) * 8
-        e128 = expected_max(counts, 128, rng=rng)
-        e1024 = expected_max(counts, 1024, rng=rng)
-        el = elops_model(k_pad, group, g.n_global, e1024)
+        bound_kinds = [
+            ("sphere", ray_sphere_entry(o, d, b[:, :3], b[:, 3]), 18.0),
+            (
+                "box",
+                ray_box_entry(o, d, lo, hi),
+                float(_os.environ.get("MCH_BROAD_OPS_BOX", "25")),
+            ),
+        ]
         print(
             f"cell={cell} group={group}: K={k} (pad {k_pad}) "
-            f"globals={g.n_global} slots={len(uuid)}\n"
-            f"  bound-hit   mean {n_hit.mean():.2f}  p90 "
-            f"{np.percentile(n_hit, 90):.0f}  max {n_hit.max()}\n"
-            f"  glob-pruned mean {n_pruned.mean():.2f}  p90 "
-            f"{np.percentile(n_pruned, 90):.0f}  max {n_pruned.max()}\n"
-            f"  tested      mean {counts.mean():.2f}  p90 "
-            f"{np.percentile(counts, 90):.0f}  p99 "
-            f"{np.percentile(counts, 99):.0f}  max {counts.max()}\n"
-            f"  E[max/128-row] {e128:.1f}   E[max/1024-tile] {e1024:.1f}\n"
-            f"  nested-while: ~{el:.0f} el-ops vs flat {FLAT_ELOPS:.0f} "
-            f"scan -> op cut {FLAT_ELOPS / el:.2f}x"
+            f"globals={g.n_global} slots={len(uuid)}"
         )
-        # regeneration-integrated: a 0-cluster bounce still takes one
-        # iteration (scatter + regen happen in it); with cpi clusters
-        # per iteration a lane needs ceil(tested/cpi) iterations
-        for cpi in [
-            int(c) for c in _os.environ.get("MCH_CPI", "1,2,3").split(",")
-        ]:
-            iters = np.maximum(-(-counts // cpi), 1).mean()
-            el_r = elops_regen_model(k_pad, group, g.n_global, iters, cpi)
+        for bname, (hit, t_entry), broad_ops in bound_kinds:
+            n_hit = hit.sum(axis=1)
+            n_pruned = (hit & (t_entry <= t_glob[:, None])).sum(axis=1)
+
+            # sequential model: visit hit clusters in t_entry order, stop
+            # when the next entry exceeds the running best
+            order = np.argsort(t_entry, axis=1)
+            te_sorted = np.take_along_axis(t_entry, order, axis=1)
+            tc_sorted = np.take_along_axis(t_cl, order, axis=1)
+            best = t_glob.copy()
+            tested = np.zeros(n, np.int64)
+            for j in range(k):
+                # finite-entry check: a non-hit cluster (te = inf) is
+                # never visited even when best = inf (total miss)
+                visit = np.isfinite(te_sorted[:, j]) & (
+                    te_sorted[:, j] <= best
+                )
+                tested += visit
+                best = np.where(
+                    visit, np.minimum(best, tc_sorted[:, j]), best
+                )
+            counts = tested
+
+            e128 = expected_max(counts, 128, rng=rng)
+            e1024 = expected_max(counts, 1024, rng=rng)
+            el = elops_model(k_pad, group, g.n_global, e1024)
             print(
-                f"  regen-step cpi={cpi}: iters/segment {iters:.2f}  "
-                f"~{el_r:.0f} el-ops vs flat TOTAL {FLAT_TOTAL:.0f} "
-                f"-> projected speedup {FLAT_TOTAL / el_r:.2f}x"
+                f" [{bname}] bound-hit mean {n_hit.mean():.2f}  p90 "
+                f"{np.percentile(n_hit, 90):.0f}  max {n_hit.max()}  |  "
+                f"glob-pruned mean {n_pruned.mean():.2f}\n"
+                f" [{bname}] tested mean {counts.mean():.2f}  p90 "
+                f"{np.percentile(counts, 90):.0f}  p99 "
+                f"{np.percentile(counts, 99):.0f}  max {counts.max()}  "
+                f"E[max/128] {e128:.1f}  E[max/1024] {e1024:.1f}\n"
+                f" [{bname}] nested-while: ~{el:.0f} el-ops vs flat "
+                f"{FLAT_ELOPS:.0f} scan -> op cut {FLAT_ELOPS / el:.2f}x"
             )
+            # regeneration-integrated: a 0-cluster bounce still takes one
+            # iteration (scatter + regen happen in it); with cpi clusters
+            # per iteration a lane needs ceil(tested/cpi) iterations
+            for cpi in [
+                int(c)
+                for c in _os.environ.get("MCH_CPI", "1,2,3").split(",")
+            ]:
+                iters = np.maximum(-(-counts // cpi), 1).mean()
+                el_r = elops_regen_model(
+                    k_pad, group, g.n_global, iters, cpi, broad_ops
+                )
+                print(
+                    f" [{bname}] regen-step cpi={cpi}: iters/segment "
+                    f"{iters:.2f}  ~{el_r:.0f} el-ops vs flat TOTAL "
+                    f"{FLAT_TOTAL:.0f} -> projected speedup "
+                    f"{FLAT_TOTAL / el_r:.2f}x"
+                )
 
 
 if __name__ == "__main__":

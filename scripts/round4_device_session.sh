@@ -45,8 +45,9 @@ if timeout 7200 python scripts/bench_cluster.py > "$LOG/cluster.log" 2>&1; then
   ADOPT_LINE=$(grep "VERDICT=ADOPT" "$LOG/cluster.log" || true)
   if [ -n "$ADOPT_LINE" ]; then
     CPI=$(echo "$ADOPT_LINE" | sed -n 's/.*cpi=\([0-9]*\).*/\1/p')
-    SCAN_ENV="BENCH_CLUSTER=1 BENCH_CLUSTER_CPI=${CPI:-2}"
-    echo "cluster scan ADOPTED (cpi=${CPI:-2}) for the headline bench"
+    BNDS=$(echo "$ADOPT_LINE" | sed -n 's/.*bounds=\([a-z]*\).*/\1/p')
+    SCAN_ENV="BENCH_CLUSTER=1 BENCH_CLUSTER_CPI=${CPI:-2} BENCH_CLUSTER_BOUNDS=${BNDS:-sphere}"
+    echo "cluster scan ADOPTED (bounds=${BNDS:-sphere} cpi=${CPI:-2}) for the headline bench"
   fi
 else
   echo "cluster A/B failed (non-fatal); see $LOG/cluster.log"
