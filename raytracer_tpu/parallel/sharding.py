@@ -14,6 +14,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -169,7 +170,12 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
     two paths cannot drift apart."""
     from raytracer_tpu.render import pallas_kernel as pk
 
-    row_offset = jax.lax.axis_index("rows") * local_h
+    # contiguous band (stride 1): shard s starts at row s·local_h;
+    # interleaved (stride = rows): s's blocks start at row s·g and step
+    # by rows·g — the kernel/plan affine map does the rest
+    row_offset = jax.lax.axis_index("rows") * (
+        r_sub * k_slots if opts.row_block_stride > 1 else local_h
+    )
     chunk = pk._pick_chunk_spp(
         spp_local, width * local_h, scene.count, opts.max_depth,
         opts.russian_roulette_depth,
@@ -217,7 +223,9 @@ def _pallas_band_adaptive(scene, dcam, seed, width, height,
     segments scalar)."""
     from raytracer_tpu.render import pallas_kernel as pk
 
-    row_offset = jax.lax.axis_index("rows") * local_h
+    row_offset = jax.lax.axis_index("rows") * (
+        r_sub * k_slots if opts.row_block_stride > 1 else local_h
+    )
     acc, segments, inv, pm = pk._render_adaptive_profiled(
         scene, dcam, seed, width, height, sizes_a[0], opts, r_sub,
         interpret, k_slots, g_full, cs_next=sizes_a[1],
@@ -351,6 +359,24 @@ def render_image_sharded_pallas(
         if not use_adaptive:
             opts = dataclasses.replace(opts, adaptive_tolerance=0.0)
 
+    # round-robin block interleave (options.interleave_rows): give each
+    # rows-shard every rows-th (k_slots·r_sub)-row block instead of one
+    # contiguous band, so no shard owns a solid stripe of the expensive
+    # region (glass/metal rows; adaptive surviving-pixel hotspots).
+    # Per-pixel values are placement-independent (RNG/camera/accumulation
+    # derive from absolute pixel coords and the shard-local chunk
+    # schedule, which depends only on local_h), so after un-interleaving
+    # the image is bitwise-identical to the contiguous layout. Only the
+    # sorted/adaptive band paths thread the stride; with one block per
+    # shard the layouts coincide, so skip the permute.
+    g_block = r_sub * k_slots
+    use_interleave = (
+        opts.interleave_rows and rows > 1
+        and (use_sorted or use_adaptive) and local_h > g_block
+    )
+    if use_interleave:
+        opts = dataclasses.replace(opts, row_block_stride=rows)
+
     def shard_body(scene, dcam, seed, *cx):
         caux_l = (cx[0], cx[1]) if cx else None
         samp0 = (
@@ -405,13 +431,27 @@ def render_image_sharded_pallas(
     )
     out = jax.jit(fn)(scene, dcam, seed, *extra)
     image, segments = out[0], out[1]
+    spp_map = out[3] if use_adaptive else None
+    if use_interleave:
+        # un-interleave: virtual row s·local_h + j·g + r (shard s, local
+        # block j, in-block row r) holds physical row (s + j·rows)·g + r
+        s = np.arange(height) // local_h
+        u = np.arange(height) % local_h
+        phys = (s + (u // g_block) * rows) * g_block + (u % g_block)
+        inv_rows = np.empty(height, np.int64)
+        inv_rows[phys] = np.arange(height)
+        take = jnp.asarray(inv_rows)
+        image = jnp.take(image, take, axis=0)
+        if spp_map is not None:
+            spp_map = jnp.take(spp_map, take, axis=0)
     if return_stats:
         # per-rows-shard values are already psum'ed across the spp axis
         stats = {"segments": jnp.sum(segments)}
         if use_adaptive:
-            # equal band heights ⇒ the mean of per-band means is exact
+            # equal band heights (and pixel counts under interleave)
+            # ⇒ the mean of per-band means is exact
             stats["mean_spp"] = jnp.mean(out[2])
-            stats["spp_map"] = out[3]
+            stats["spp_map"] = spp_map
         return image, stats
     return image
 

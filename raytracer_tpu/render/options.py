@@ -155,6 +155,25 @@ class TraceOptions:
     cluster_cell: float = 4.0
     #: spheres per cluster (gather/test granularity)
     cluster_group: int = 16
+    #: rows-mesh load balancing: assign each shard every-Nth tile-row
+    #: BLOCK (round-robin over k_slots·r_sub-row blocks) instead of one
+    #: contiguous band. Per-pixel RNG/camera/accumulation are derived
+    #: from ABSOLUTE pixel coordinates, so the rendered values are
+    #: placement-independent — the full image is bitwise-identical to
+    #: the contiguous layout; only which shard computes which rows
+    #: changes. Matters when per-row cost is spatially concentrated
+    #: (the cover's glass/metal rows): a contiguous band mesh waits on
+    #: the most expensive band, while interleaving gives every shard a
+    #: cross-section of the image. Biggest effect on ADAPTIVE renders,
+    #: whose surviving-pixel sets concentrate hard (PERF.md spp_map).
+    #: Applies to the sorted/adaptive sharded paths on rows meshes with
+    #: >1 shard; other paths ignore it. Beyond the reference.
+    interleave_rows: bool = False
+    #: INTERNAL (set by the sharded driver; leave at 1): stride in
+    #: tile-row blocks between a shard's consecutive blocks. The kernel
+    #: maps local block j of a shard with row offset o to absolute rows
+    #: o + j·stride·(k_slots·r_sub) + [0, k_slots·r_sub); 1 = contiguous.
+    row_block_stride: int = 1
 
     def __post_init__(self):
         if self.max_depth < 1:
@@ -175,6 +194,11 @@ class TraceOptions:
             raise ValueError(
                 f"cluster_bounds must be 'sphere' or 'box', got "
                 f"{self.cluster_bounds!r}"
+            )
+        if self.row_block_stride < 1:
+            raise ValueError(
+                f"row_block_stride must be >= 1, got "
+                f"{self.row_block_stride}"
             )
         if self.cluster_scan and self.scan_mxu:
             raise ValueError(

@@ -302,8 +302,15 @@ def _make_kernel(
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 0)
             lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r_sub, LANES), 1)
             px_const = ((t % tiles_x) * LANES + lane_ids).astype(jnp.float32)
+            # local tile-row block j maps to absolute rows row_offset +
+            # j·stride·block + [0, block): stride 1 = a contiguous band
+            # (single chip / contiguous shard), stride N = the rows-mesh
+            # round-robin block interleave (options.row_block_stride)
             base_py = (
-                row_offset + (t // tiles_x) * (k_slots * r_sub) + row_ids
+                row_offset
+                + (t // tiles_x)
+                * (k_slots * r_sub * opts.row_block_stride)
+                + row_ids
             ).astype(jnp.float32)
 
             def pixel_xy(k_f):
@@ -1874,7 +1881,7 @@ def _render_chunk_profiled(
     )
     return _profile_to_plan(
         out0, width, local_height if local_height is not None else height,
-        r_sub, k_slots, row_offset,
+        r_sub, k_slots, row_offset, opts.row_block_stride,
     )
 
 
@@ -1940,7 +1947,8 @@ def _chunk_sorted_step(
     acc, segments = _accumulate_sorted(out, acc, segments, inv, k_slots)
     if plan_next:
         inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots,
-                                         row_offset)
+                                         row_offset,
+                                         opts.row_block_stride)
     return acc, segments, inv, pixel_map
 
 
@@ -2010,7 +2018,7 @@ def _tiles_to_flat(out, width: int, height: int, r_sub: int, k_slots: int,
 
 
 def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int,
-                    row_offset=0):
+                    row_offset=0, block_stride: int = 1):
     """Per-pixel cumulative cost → (inv, pixel_map): pixels sorted by
     descending measured path cost, packed into tiles in that order. A
     lane's K slots take ranks (t·K + k)·N + pos for its in-tile position
@@ -2021,14 +2029,20 @@ def _plan_from_cost(cost, width: int, r_sub: int, k_slots: int,
     shifts the pixel_map's ipy to ABSOLUTE image rows: the permuted
     kernel derives RNG streams and camera st from (ipx, ipy) alone, so a
     shard's plan must name global pixels. ``inv`` stays local (it indexes
-    the shard's own accumulator)."""
+    the shard's own accumulator). ``block_stride`` > 1 is the rows-mesh
+    round-robin block interleave (options.row_block_stride): local
+    tile-row block j sits at absolute rows row_offset + j·stride·g +
+    [0, g), g = k_slots·r_sub — the same affine map the rectangular
+    kernel layout applies."""
     order = jnp.argsort(-cost)  # expensive pixels first; padding (0) last
     inv = jnp.argsort(order)
     wp = pl.cdiv(width, LANES) * LANES
     ipx = (order % wp).astype(jnp.int32)
-    ipy = (order // wp).astype(jnp.int32) + jnp.asarray(
-        row_offset, jnp.int32
-    )
+    ly = (order // wp).astype(jnp.int32)
+    if block_stride != 1:
+        g = k_slots * r_sub
+        ly = (ly // g) * (g * block_stride) + (ly % g)
+    ipy = ly + jnp.asarray(row_offset, jnp.int32)
     nt = order.shape[0] // (k_slots * r_sub * LANES)
     pixel_map = (
         jnp.stack([ipx, ipy], axis=0)
@@ -2068,7 +2082,8 @@ _T975_BY_CHUNKS = np.asarray(
 
 
 def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
-                   tol: float, chunk_stats=None, row_offset=0):
+                   tol: float, chunk_stats=None, row_offset=0,
+                   block_stride: int = 1):
     """Adaptive variant of :func:`_plan_from_cost`: pixels sorted by
     (unconverged first, then descending cost), plus a per-pixel sample
     budget plane (0 for converged pixels, ``cs`` otherwise).
@@ -2107,9 +2122,9 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     which the kernel's single advance step relies on.
 
     ``row_offset`` (may be traced — a shard's band start) shifts ipy to
-    ABSOLUTE image rows, exactly as in :func:`_plan_from_cost`: the
-    permuted kernel derives RNG and camera st from (ipx, ipy) alone, so
-    a shard's plan must name global pixels; ``inv`` stays local."""
+    ABSOLUTE image rows, exactly as in :func:`_plan_from_cost`, and
+    ``block_stride`` applies the same round-robin block-interleave map;
+    ``inv`` stays local."""
     n = acc[4]
     n_safe = jnp.maximum(n, 1.0)
     mean = (acc[0] + acc[1] + acc[2]) * (1.0 / 3.0) / n_safe
@@ -2140,9 +2155,11 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
     inv = jnp.argsort(order)
     wp = pl.cdiv(width, LANES) * LANES
     ipx = (order % wp).astype(jnp.int32)
-    ipy = (order // wp).astype(jnp.int32) + jnp.asarray(
-        row_offset, jnp.int32
-    )
+    ly = (order // wp).astype(jnp.int32)
+    if block_stride != 1:
+        g = k_slots * r_sub
+        ly = (ly // g) * (g * block_stride) + (ly % g)
+    ipy = ly + jnp.asarray(row_offset, jnp.int32)
     budget = jnp.where(converged, 0, cs).astype(jnp.int32)[order]
     nt = order.shape[0] // (k_slots * r_sub * LANES)
     pixel_map = (
@@ -2154,10 +2171,11 @@ def _plan_adaptive(acc, width: int, r_sub: int, k_slots: int, cs: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "r_sub", "k_slots")
+    jax.jit,
+    static_argnames=("width", "height", "r_sub", "k_slots", "block_stride"),
 )
 def _profile_to_plan(out0, width: int, height: int, r_sub: int,
-                     k_slots: int, row_offset=0):
+                     k_slots: int, row_offset=0, block_stride: int = 1):
     """Turn the profiling chunk's output into the first sorted-render plan.
 
     Returns (acc (4, Hp·Wp) pixel-space sums: rgb + cumulative cost,
@@ -2168,7 +2186,7 @@ def _profile_to_plan(out0, width: int, height: int, r_sub: int,
     acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
     segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
     inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots,
-                                     row_offset)
+                                     row_offset, block_stride)
     return acc, segments, inv, pixel_map
 
 
@@ -2380,7 +2398,7 @@ def _render_adaptive_profiled(
     segments = jnp.sum(out0[:, 6 * k_slots, 0, 0])
     inv, pm = _plan_adaptive(
         acc, width, r_sub, k_slots, cs_next, opts.adaptive_tolerance,
-        row_offset=row_offset,
+        row_offset=row_offset, block_stride=opts.row_block_stride,
     )
     return acc, segments, inv, pm
 
@@ -2448,6 +2466,7 @@ def _render_adaptive_scan(
         inv, pixel_map = _plan_adaptive(
             acc, width, r_sub, k_slots, cs, opts.adaptive_tolerance,
             chunk_stats=cstats, row_offset=row_offset,
+            block_stride=opts.row_block_stride,
         )
         carry = (acc, segments, inv, pixel_map)
         if track_chunks:

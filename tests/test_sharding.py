@@ -375,3 +375,100 @@ def test_sharded_pallas_cluster_scan_matches_flat(key):
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(sa["segments"]) == float(sb["segments"])
+
+
+def test_sharded_interleaved_sorted_bitwise(key):
+    """Round-robin block interleaving (interleave_rows) re-assigns WHICH
+    shard renders which tile-row blocks; every per-pixel quantity derives
+    from absolute pixel coordinates and the shard-local chunk schedule
+    (same local_h ⇒ same schedule), so the un-interleaved image must be
+    bitwise-identical to the contiguous-band sharded render."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import (
+        _shard_tile_params,
+        render_image_sharded_pallas,
+    )
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    h = 128  # rows=2 -> local_h=64 -> g=32: 2 blocks/shard, a real perm
+    scene, cam, *_ = presets.get_config("two_sphere", W, h)
+    r_sub, k_slots = _shard_tile_params(h // 2)
+    assert h // 2 > r_sub * k_slots, "test needs >1 block per shard"
+    opts = TraceOptions(max_depth=3)
+    mesh = make_mesh((2,), ("rows",))
+    orig = pk._pick_chunk_spp
+    try:
+        pk._pick_chunk_spp = lambda spp, *a, **k: min(spp, 2)
+        a, sa = render_image_sharded_pallas(
+            scene, cam, W, h, 9, key, mesh, opts, return_stats=True
+        )
+        b, sb = render_image_sharded_pallas(
+            scene, cam, W, h, 9, key, mesh,
+            dataclasses.replace(opts, interleave_rows=True),
+            return_stats=True,
+        )
+    finally:
+        pk._pick_chunk_spp = orig
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(sa["segments"]) == float(sb["segments"])
+
+
+def test_sharded_interleaved_adaptive_bitwise(key):
+    """Adaptive + interleave: per-pixel stop decisions depend only on the
+    pixel's own statistics and the (identical) chunk schedule, so image,
+    sample-density map, and total segments match the contiguous layout
+    exactly. This is the layout the flag exists for — adaptive surviving
+    pixels concentrate spatially, and interleaving hands every shard a
+    cross-section instead of a solid stripe."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    h = 128
+    scene, cam, *_ = presets.get_config("two_sphere", W, h)
+    opts = TraceOptions(max_depth=3, adaptive_tolerance=0.05)
+    mesh = make_mesh((2,), ("rows",))
+    orig_chunk, orig_minn = pk._pick_chunk_spp, pk.ADAPTIVE_MIN_N
+    try:
+        pk._pick_chunk_spp = lambda spp, *a, **k: min(spp, 3)
+        pk.ADAPTIVE_MIN_N = 4
+        a, sa = render_image_sharded_pallas(
+            scene, cam, W, h, 27, key, mesh, opts, return_stats=True
+        )
+        b, sb = render_image_sharded_pallas(
+            scene, cam, W, h, 27, key, mesh,
+            dataclasses.replace(opts, interleave_rows=True),
+            return_stats=True,
+        )
+    finally:
+        pk._pick_chunk_spp, pk.ADAPTIVE_MIN_N = orig_chunk, orig_minn
+    assert float(sa["mean_spp"]) < 27.0  # early stopping engaged
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(sa["spp_map"]), np.asarray(sb["spp_map"])
+    )
+    assert float(sa["segments"]) == float(sb["segments"])
+    assert float(sa["mean_spp"]) == pytest.approx(
+        float(sb["mean_spp"]), rel=1e-6
+    )
+
+
+def test_interleave_noop_paths(setup, key):
+    """interleave_rows must be inert where it cannot apply: the unsorted
+    single-chunk path and one-block-per-shard bands render identically
+    with the flag on (the gate skips the stride and the permute)."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+
+    scene, cam = setup
+    mesh = make_mesh((4,), ("rows",))  # local_h=8: one 8-row block
+    opts = TraceOptions(max_depth=3)
+    a = render_image_sharded_pallas(scene, cam, W, H, 2, key, mesh, opts)
+    b = render_image_sharded_pallas(
+        scene, cam, W, H, 2, key, mesh,
+        dataclasses.replace(opts, interleave_rows=True),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
