@@ -2523,6 +2523,7 @@ def _render_pallas(
     sample_offset=0,
     caux=None,
     n_global: int = 0,
+    chunk_count: int | None = None,
 ):
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[0] ^ _lowbias32(kd[1])).astype(jnp.int32)
@@ -2559,9 +2560,18 @@ def _render_pallas(
     else:
         g_full = None
 
+    # chunk_count: the ORIGINAL scene's slot count when the caller swapped
+    # in a padded cluster layout. The chunk schedule must match the flat
+    # scan's exactly — spp chunking sets the per-pixel f32 accumulation
+    # order, so a different schedule costs bitwise parity (measured on
+    # device: box:cpi=1 at 500 spp drifted ≤6.6e-7 with segments equal
+    # until this landed). Budgeting cluster chunks with the FLAT cost
+    # model is conservative for the watchdog: the cluster kernel does
+    # strictly less work per sample.
     chunk = _pick_chunk_spp(
-        spp, width * height, scene.count, opts.max_depth,
-        opts.russian_roulette_depth,
+        spp, width * height,
+        scene.count if chunk_count is None else chunk_count,
+        opts.max_depth, opts.russian_roulette_depth,
     )
     if opts.adaptive_tolerance > 0.0:
         import dataclasses
@@ -2737,6 +2747,7 @@ def render_image_pallas(
     while k_slots > 1 and height < k_slots * r_sub:
         k_slots //= 2
     caux, n_global = None, 0
+    chunk_count = scene.count  # pre-swap: keeps cluster chunking == flat
     if opts.cluster_scan:
         if static_cluster is not None:
             # progressive static-hint path: the partition was built once
@@ -2761,4 +2772,5 @@ def render_image_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
         interpret, k_slots, debug=debug, static_split=static_split,
         sample_offset=sample_offset, caux=caux, n_global=n_global,
+        chunk_count=chunk_count,
     )

@@ -12,7 +12,12 @@ this script is the decision point:
      variant (best of 3 each, shared golden-free physics cross-check);
   2. physics: images must match the flat render BITWISE (they do in
      interpret mode; a device mismatch means a Mosaic lowering bug —
-     REJECT regardless of speed).
+     REJECT regardless of speed). Caught once already: the padded
+     cluster layout used to shift the spp chunk schedule, drifting the
+     f32 accumulation order (<=6.6e-7, segments equal) — fixed by
+     budgeting chunks with the original count (chunk_count plumb-through
+     in render_image_pallas); max|d| is printed so a recurrence is
+     diagnosable from the log.
 
 Variants: bounds in {sphere, box} x cpi. The box (member-AABB slab)
 broad phase is the round-4 model favorite — measured cover segment
@@ -113,10 +118,13 @@ def main():
         bitwise = np.array_equal(img_c, img_f)
         seg_ok = segs_c == segs_f
         speedup = wall_f / wall_c
+        maxd = float(
+            np.abs(img_c.astype(np.float64) - img_f.astype(np.float64)).max()
+        )
         print(
             f"{tag}: {wall_c:.3f}s ({segs_c / wall_c / 1e6:.1f} "
             f"Mrays/s) speedup={speedup:.3f}x bitwise={bitwise} "
-            f"segs_equal={seg_ok}"
+            f"segs_equal={seg_ok} max|d|={maxd:.2e}"
         )
         if bitwise and seg_ok and speedup > best_speedup:
             best, best_speedup = (bounds, cpi), speedup

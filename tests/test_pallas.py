@@ -592,6 +592,42 @@ def test_cluster_scan_bitwise_equals_flat(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+def test_cluster_chunk_schedule_matches_flat(monkeypatch):
+    """The cluster path must budget spp chunks with the ORIGINAL scene
+    count, not the padded partition layout's: the chunk schedule sets the
+    per-pixel f32 accumulation order, so a different schedule silently
+    costs bitwise parity with the flat scan at multi-chunk spp (measured
+    on device: 500-spp cover drifted <=6.6e-7 with segments equal before
+    the chunk_count plumb-through). No render needed — intercept the
+    picker and compare the count it was handed."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(0)
+    # same opts/spp as test_cluster_scan_bitwise_equals_flat so the
+    # megakernel compiles hit the in-process jit cache when the file
+    # runs in order (the spy intercepts at dispatch time either way)
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5)
+    opts_c = dataclasses.replace(opts, cluster_scan=True)
+
+    part = pk._cluster_partition(scene, opts_c)
+    assert part is not None
+    assert part.scene.count > scene.count  # padding present: test bites
+
+    seen = []
+    real = pk._pick_chunk_spp
+
+    def spy(spp, p, s_count, *a, **k):
+        seen.append(s_count)
+        return real(spp, p, s_count, *a, **k)
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp", spy)
+    pk.render_image_pallas(scene, dcam, W, H, 4, key, opts)
+    pk.render_image_pallas(scene, dcam, W, H, 4, key, opts_c)
+    assert seen == [scene.count, scene.count]
+
+
 def test_cluster_scan_box_bounds_bitwise_equals_flat():
     """cluster_bounds='box': the AABB broad phase is conservative (the
     box contains every member sphere), so the exact member tests make
