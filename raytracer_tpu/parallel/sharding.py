@@ -116,7 +116,7 @@ def _render_shard(
 
 def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
                         local_h, opts, interpret, g_full=None,
-                        caux=None, n_global=0):
+                        caux=None, n_global=0, chunk_count=None):
     """Chunked UNSORTED Pallas band render for one rows-shard (shared by
     the offline and progressive sharded paths; the sorted machinery is
     _pallas_band_sorted). Consumes the shared _chunk_schedule, so the
@@ -130,8 +130,9 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
 
     row_offset = jax.lax.axis_index("rows") * local_h
     chunk = pk._pick_chunk_spp(
-        spp_local, width * local_h, scene.count, opts.max_depth,
-        opts.russian_roulette_depth,
+        spp_local, width * local_h,
+        scene.count if chunk_count is None else chunk_count,
+        opts.max_depth, opts.russian_roulette_depth,
     )
     # the SHARED _chunk_schedule, exactly like both single-chip paths and
     # the sorted sharded path: identical per-pixel chunk grouping keeps
@@ -152,7 +153,8 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
 
 def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
                         local_h, opts, interpret, r_sub, k_slots,
-                        g_full=None, caux=None, n_global=0):
+                        g_full=None, caux=None, n_global=0,
+                        chunk_count=None):
     """Per-shard SORTED band render: the full single-chip machinery —
     profile chunk, profile-guided pixel sorting, K-slot virtual tiles,
     and the fused uniform-chunk lax.scan — run shard-locally (each shard
@@ -177,8 +179,9 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
         r_sub * k_slots if opts.row_block_stride > 1 else local_h
     )
     chunk = pk._pick_chunk_spp(
-        spp_local, width * local_h, scene.count, opts.max_depth,
-        opts.russian_roulette_depth,
+        spp_local, width * local_h,
+        scene.count if chunk_count is None else chunk_count,
+        opts.max_depth, opts.russian_roulette_depth,
     )
     sizes, uniform = pk._chunk_schedule(spp_local, chunk)
     chunk0 = sizes[0]
@@ -304,9 +307,14 @@ def render_image_sharded_pallas(
     # concrete scene here, exactly like the single-chip entry
     # (pallas_kernel.render_image_pallas) — the reordered scene +
     # replicated bounds/uuid tables ride into every shard, and the
-    # per-band machinery is identical, so shard/single-chip bitwise
-    # parity carries over unchanged
+    # per-band machinery is identical. chunk_count carries the ORIGINAL
+    # slot count past the padded-partition swap so the shard-local spp
+    # chunk schedule (= per-pixel f32 accumulation order) matches the
+    # sharded FLAT render's exactly — the same plumb-through the
+    # single-chip path has (render_image_pallas); without it, sharded
+    # cluster renders would drift bitwise from sharded flat (ADVICE r4).
     caux, n_global = None, 0
+    chunk_count = scene.count  # pre-swap
     if opts.cluster_scan:
         part = pk._cluster_partition(scene, opts)
         if part is not None:
@@ -334,7 +342,7 @@ def render_image_sharded_pallas(
     # sorted path exactly when the single-chip render would sort: multi-
     # chunk work with sort_pixels on (the schedule is shard-local/static)
     chunk_local = pk._pick_chunk_spp(
-        spp_local, width * local_h, scene.count, opts.max_depth,
+        spp_local, width * local_h, chunk_count, opts.max_depth,
         opts.russian_roulette_depth,
     )
     use_sorted = opts.sort_pixels and spp_local > chunk_local
@@ -397,7 +405,7 @@ def render_image_sharded_pallas(
             acc, segments = _pallas_band_sorted(
                 scene, dcam, seed, samp0, spp_local, width, height,
                 local_h, opts, interpret, r_sub, k_slots, g_full=g_full,
-                caux=caux_l, n_global=n_global,
+                caux=caux_l, n_global=n_global, chunk_count=chunk_count,
             )
             if spp_axis is not None:
                 acc = jax.lax.psum(acc, spp_axis)
@@ -409,7 +417,7 @@ def render_image_sharded_pallas(
         acc = _pallas_band_chunks(
             scene, dcam, seed, samp0, spp_local, width, height, local_h,
             opts, interpret, g_full=g_full, caux=caux_l,
-            n_global=n_global,
+            n_global=n_global, chunk_count=chunk_count,
         )
         if spp_axis is not None:
             acc = jax.lax.psum(acc, spp_axis)

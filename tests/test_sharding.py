@@ -377,6 +377,40 @@ def test_sharded_pallas_cluster_scan_matches_flat(key):
     assert float(sa["segments"]) == float(sb["segments"])
 
 
+def test_sharded_cluster_chunk_schedule_matches_flat(key, monkeypatch):
+    """The sharded cluster path must budget spp chunks with the ORIGINAL
+    scene count, not the padded partition layout's — the shard-local
+    chunk schedule sets the per-pixel f32 accumulation order, so a
+    padded count would silently cost bitwise parity between sharded
+    cluster and sharded flat renders at multi-chunk spp (the exact bug
+    the single-chip path fixed in round 4; ADVICE r4 flagged the
+    sharded call sites). Spy on the picker like the single-chip test."""
+    import dataclasses
+
+    from raytracer_tpu.parallel.sharding import render_image_sharded_pallas
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    opts_c = dataclasses.replace(
+        TraceOptions(max_depth=3), cluster_scan=True
+    )
+    part = pk._cluster_partition(scene, opts_c)
+    assert part is not None
+    assert part.scene.count > scene.count  # padding present: test bites
+
+    seen = []
+    real = pk._pick_chunk_spp
+
+    def spy(spp, p, s_count, *a, **k):
+        seen.append(s_count)
+        return real(spp, p, s_count, *a, **k)
+
+    monkeypatch.setattr(pk, "_pick_chunk_spp", spy)
+    mesh = make_mesh((2,), ("rows",))
+    render_image_sharded_pallas(scene, cam, W, H, 4, key, mesh, opts_c)
+    assert seen and set(seen) == {scene.count}
+
+
 def test_sharded_interleaved_sorted_bitwise(key):
     """Round-robin block interleaving (interleave_rows) re-assigns WHICH
     shard renders which tile-row blocks; every per-pixel quantity derives
