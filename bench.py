@@ -41,6 +41,19 @@ import time
 BASELINE_MRAYS = 500.0
 
 
+def _cluster_opt(scene_count: int):
+    """BENCH_CLUSTER: unset → 'auto' (the production default — the
+    device-ADOPTED gathered cluster scan engages for scenes >= 64
+    slots, so the plain headline run renders with it); '0' forces the
+    flat scan (A/B baseline); any other value forces it on for
+    eligible scenes (the legacy >= 64 gate keeps the matrix's tiny
+    configs flat, where the broad phase is pure overhead)."""
+    v = os.environ.get("BENCH_CLUSTER")
+    if v is None:
+        return "auto"
+    return v != "0" and scene_count >= 64
+
+
 def _bench_one(config, backend, repeats, spp_override=None):
     import time
 
@@ -57,15 +70,9 @@ def _bench_one(config, backend, repeats, spp_override=None):
     opts = TraceOptions(
         max_depth=depth, backend=backend, russian_roulette_depth=rr,
         scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
-        # cluster culling only pays once the flat scan is big (the broad
-        # phase is pure overhead at <=8 sphere slots) — the matrix's tiny
-        # configs keep the flat scan even under BENCH_CLUSTER=1
-        cluster_scan=(
-            os.environ.get("BENCH_CLUSTER", "0") == "1"
-            and scene.count >= 64
-        ),
+        cluster_scan=_cluster_opt(scene.count),
         cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
-        cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "sphere"),
+        cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "box"),
     )
     key = jax.random.PRNGKey(0)
 
@@ -269,17 +276,14 @@ def main() -> int:
         opts = TraceOptions(
             max_depth=depth, backend=backend, russian_roulette_depth=rr,
             sampler=os.environ.get("BENCH_SAMPLER", "random"),
-            # BENCH_SCAN_MXU=1 / BENCH_CLUSTER=1: scan variants, set
-            # by the device session when the A/B scripts
-            # (bench_scan_mxu.py / bench_cluster.py) print ADOPT; the
-            # cluster gate mirrors _bench_one (tiny scenes stay flat)
+            # scan variants: the device-ADOPTED cluster scan is the
+            # default ('auto' via _cluster_opt — the headline renders
+            # with it); BENCH_CLUSTER=0 / BENCH_SCAN_MXU=1 are the A/B
+            # knobs (scripts/bench_cluster.py / bench_scan_mxu.py)
             scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
-            cluster_scan=(
-                os.environ.get("BENCH_CLUSTER", "0") == "1"
-                and scene.count >= 64
-            ),
+            cluster_scan=_cluster_opt(scene.count),
             cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
-            cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "sphere"),
+            cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "box"),
         )
         key = jax.random.PRNGKey(0)
 

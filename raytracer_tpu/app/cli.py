@@ -94,20 +94,33 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--cluster-scan",
-        action="store_true",
-        help="gathered cluster scan (Pallas backend): grid-cell cluster "
-        "partition + per-lane Mosaic dynamic gather — bitwise-identical "
-        "images, work proportional to what each ray can hit instead of "
-        "the whole scene (falls back to the flat scan for scenes with "
-        "no small-sphere clusters)",
+        dest="cluster_scan",
+        action="store_const",
+        const=True,
+        default="auto",
+        help="force the gathered cluster scan on (Pallas backend): "
+        "grid-cell cluster partition + per-lane Mosaic dynamic gather — "
+        "bitwise-identical images, work proportional to what each ray "
+        "can hit instead of the whole scene (falls back to the flat "
+        "scan for scenes with no small-sphere clusters). Default auto: "
+        "on for scenes >= 64 slots (the device-adopted production "
+        "default).",
+    )
+    p.add_argument(
+        "--no-cluster-scan",
+        dest="cluster_scan",
+        action="store_const",
+        const=False,
+        help="force the flat scan",
     )
     p.add_argument(
         "--cluster-bounds",
         choices=("sphere", "box"),
-        default="sphere",
-        help="cluster broad-phase bound shape (with --cluster-scan): "
-        "'sphere' (conservative bounding sphere) or 'box' (member AABB "
-        "slab test — tighter for thin-slab scenes like the cover)",
+        default="box",
+        help="cluster broad-phase bound shape (with the cluster scan): "
+        "'box' (member AABB slab test — tighter for thin-slab scenes "
+        "like the cover; the device-adopted default) or 'sphere' "
+        "(conservative bounding sphere)",
     )
     p.add_argument(
         "--book-physics",

@@ -62,7 +62,7 @@ class Engine:
         exhaust_black: bool = False,
         russian_roulette_depth: int = 0,
         sampler: str = "random",
-        cluster_scan: bool = False,
+        cluster_scan: bool | str = "auto",
     ):
         self.scene = scene
         self.camera = camera
@@ -85,7 +85,8 @@ class Engine:
         # scene is fixed (Reset restores the construction default), so
         # the step factory can host-build the partition once per compiled
         # step — the partition reads no camera state, so the fly-cam
-        # never invalidates it
+        # never invalidates it. Default 'auto' (the production default:
+        # on for >= 64-slot scenes, options.cluster_scan_enabled).
         self.cluster_scan = cluster_scan
         self._seed = seed
         self.render_state: RenderState = init_render_state(

@@ -164,7 +164,7 @@ def run_viewer(
     target_fps: float = 30.0,
     cols: int = 100,
     sampler: str = "random",
-    cluster_scan: bool = False,
+    cluster_scan: bool | str = "auto",
 ):
     scene, cam, *_ = presets.get_config(config, width, height)
     engine = Engine(scene, cam, width, height, spp=1, max_depth=8,
@@ -269,9 +269,15 @@ if __name__ == "__main__":
         "low-discrepancy accumulation across frames)",
     )
     p.add_argument(
-        "--cluster-scan", action="store_true",
-        help="gathered cluster scan (Pallas backend; the fixed viewer "
-        "scene lets the partition build once per compiled step)",
+        "--cluster-scan", dest="cluster_scan", action="store_const",
+        const=True, default="auto",
+        help="force the gathered cluster scan on (Pallas backend; the "
+        "fixed viewer scene lets the partition build once per compiled "
+        "step). Default auto: on for scenes >= 64 slots.",
+    )
+    p.add_argument(
+        "--no-cluster-scan", dest="cluster_scan", action="store_const",
+        const=False, help="force the flat scan",
     )
     a = p.parse_args()
     from raytracer_tpu.utils.jaxcache import enable_persistent_cache

@@ -315,7 +315,9 @@ def render_image_sharded_pallas(
     # cluster renders would drift bitwise from sharded flat (ADVICE r4).
     caux, n_global = None, 0
     chunk_count = scene.count  # pre-swap
-    if opts.cluster_scan:
+    from raytracer_tpu.render.options import cluster_scan_enabled
+
+    if cluster_scan_enabled(opts, scene.count):
         part = pk._cluster_partition(scene, opts)
         if part is not None:
             scene = part.scene
@@ -424,7 +426,11 @@ def render_image_sharded_pallas(
         image, segments = pk._finalize(acc, width, local_h, spp, opts.gamma, 8)
         return image, segments[None]
 
-    out_specs = (P("rows", None, None), P("rows"))
+    # segments ride as per-shard exact int32 [hi, lo] pairs (see
+    # pallas_kernel._seg_pair) — summed across shards and rounded to f32
+    # exactly once below, so sharded totals are plan/partition-exact like
+    # the single-chip path's
+    out_specs = (P("rows", None, None), P("rows", None))
     if use_adaptive:
         # per-band mean effective spp + the (H, W) sample-density map,
         # row-sharded exactly like the image
@@ -454,7 +460,7 @@ def render_image_sharded_pallas(
             spp_map = jnp.take(spp_map, take, axis=0)
     if return_stats:
         # per-rows-shard values are already psum'ed across the spp axis
-        stats = {"segments": jnp.sum(segments)}
+        stats = {"segments": pk._seg_value(jnp.sum(segments, axis=0))}
         if use_adaptive:
             # equal band heights (and pixel counts under interleave)
             # ⇒ the mean of per-band means is exact
@@ -718,7 +724,7 @@ def _make_sharded_step_fn_pallas(
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=(P("rows", None, None), P("rows")),
+        out_specs=(P("rows", None, None), P("rows", None)),
         check_rep=False,
     )
 
@@ -735,7 +741,9 @@ def _make_sharded_step_fn_pallas(
         new_state = state.replace(
             accum=accum, render_count=render_count, frame=state.frame + 1
         )
-        return new_state, {"segments": jnp.sum(segments)}
+        return new_state, {
+            "segments": pk._seg_value(jnp.sum(segments, axis=0))
+        }
 
     return jax.jit(step, donate_argnums=0)
 

@@ -91,8 +91,9 @@ def make_step_fn(
     static_cluster = None
     if opts.backend == "pallas" and static_scene is not None:
         from raytracer_tpu.render import pallas_kernel as pk
+        from raytracer_tpu.render.options import cluster_scan_enabled
 
-        if opts.cluster_scan:
+        if cluster_scan_enabled(opts, static_scene.count):
             # gathered cluster scan for fixed-scene sessions: the
             # partition (bounds + slot layout) is host-built ONCE from
             # the hint; each frame's traced scene is gathered into it

@@ -13,6 +13,30 @@ from raytracer_tpu.scene.spheres import NO_SELECTED_OBJECT_ID
 MIN_T = 0.001
 MAX_T = 1e5
 
+#: scenes below this slot count keep the flat scan under
+#: cluster_scan='auto': the broad phase is pure overhead when the whole
+#: flat scan is a handful of sublane rows (the device A/B that adopted
+#: the cluster default ran the 487-sphere cover — scripts/
+#: bench_cluster.py; bench.py's matrix keeps its tiny configs flat
+#: through this same gate)
+CLUSTER_AUTO_MIN_SPHERES = 64
+
+
+def cluster_scan_enabled(opts: "TraceOptions", scene_count: int) -> bool:
+    """Resolve ``TraceOptions.cluster_scan`` ('auto' | bool) for a scene.
+
+    'auto' (the default) turns the gathered cluster scan on for scenes
+    large enough that the broad phase pays (>= CLUSTER_AUTO_MIN_SPHERES
+    slots) unless the alternative scan_mxu variant was explicitly
+    requested. A True resolution can still fall back to the flat scan
+    when the host partition can't be built — traced scenes, or scenes
+    with no small-sphere clusters (pallas_kernel._cluster_partition).
+    """
+    if opts.cluster_scan == "auto":
+        return (not opts.scan_mxu
+                and scene_count >= CLUSTER_AUTO_MIN_SPHERES)
+    return bool(opts.cluster_scan)
+
 
 @dataclasses.dataclass(frozen=True)
 class TraceOptions:
@@ -131,15 +155,21 @@ class TraceOptions:
     #: cell 4.0 / group 16 → projected ~1.6-2.0x over the flat scan
     #: (scripts/measure_cluster_hits.py). Requires a concrete scene (the
     #: partition is host-built); falls back to the flat scan for traced
-    #: scenes and scenes small enough that clustering can't pay
-    #: (count < ~64). Off by default until device-measured.
-    cluster_scan: bool = False
+    #: scenes and scenes small enough that clustering can't pay.
+    #: Default 'auto' = on for scenes >= CLUSTER_AUTO_MIN_SPHERES slots
+    #: (see cluster_scan_enabled) — the production default since the
+    #: round-4 device A/B ADOPTED it (bitwise-identical cover images at
+    #: 1.86-2.0x over the flat scan, scripts/bench_cluster.py; PERF.md).
+    cluster_scan: bool | str = "auto"
     #: clusters extracted + exact-tested per iteration (amortizes the
     #: per-iteration fixed work over more member tests; the cost model in
     #: scripts/measure_cluster_hits.py sizes this)
     cluster_cpi: int = 2
-    #: broad-phase bound shape: 'sphere' (center + conservative radius,
-    #: ~24 VPU ops/bound-row) or 'box' (member AABB slab test, ~27 ops).
+    #: broad-phase bound shape: 'box' (member AABB slab test, ~27 VPU
+    #: ops/bound-row — the device-ADOPTED default, measured 1.86-2.0x
+    #: over the flat scan on the cover vs 1.36-1.41x for 'sphere',
+    #: scripts/bench_cluster.py) or 'sphere' (center + conservative
+    #: radius, ~24 ops).
     #: The cover's small spheres sit in a thin slab over the ground
     #: plane, so a grid cell's AABB (~cell x ~1.4 x cell) is far tighter
     #: than its bounding sphere (radius ~ half the cell diagonal) for
@@ -150,7 +180,7 @@ class TraceOptions:
     #: results are identical — only broad-phase visit ORDER can differ,
     #: which the exact member tests make invisible except on exact
     #: q ties. Device A/B: scripts/bench_cluster.py sweeps both.
-    cluster_bounds: str = "sphere"
+    cluster_bounds: str = "box"
     #: grid cell size of the cluster partition (world units over (x, z))
     cluster_cell: float = 4.0
     #: spheres per cluster (gather/test granularity)
@@ -186,6 +216,11 @@ class TraceOptions:
                 f"sampler must be 'random' or 'stratified', got "
                 f"{self.sampler!r}"
             )
+        if self.cluster_scan not in (True, False, "auto"):
+            raise ValueError(
+                f"cluster_scan must be True, False or 'auto', got "
+                f"{self.cluster_scan!r}"
+            )
         if self.cluster_cpi < 1:
             raise ValueError(
                 f"cluster_cpi must be >= 1, got {self.cluster_cpi}"
@@ -200,7 +235,10 @@ class TraceOptions:
                 f"row_block_stride must be >= 1, got "
                 f"{self.row_block_stride}"
             )
-        if self.cluster_scan and self.scan_mxu:
+        if self.cluster_scan is True and self.scan_mxu:
+            # 'auto' + scan_mxu resolves to the MXU variant silently
+            # (cluster_scan_enabled) — only an EXPLICIT double opt-in
+            # is a contradiction worth erroring on
             raise ValueError(
                 "cluster_scan and scan_mxu are alternative scan "
                 "implementations — enable at most one"

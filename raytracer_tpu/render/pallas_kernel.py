@@ -64,7 +64,12 @@ from raytracer_tpu.core.sampling import (
     R2_ALPHAS_B0,
     alphas_fixed32,
 )
-from raytracer_tpu.render.options import MAX_T, MIN_T, TraceOptions
+from raytracer_tpu.render.options import (
+    MAX_T,
+    MIN_T,
+    TraceOptions,
+    cluster_scan_enabled,
+)
 from raytracer_tpu.scene.spheres import Scene
 
 LANES = 128
@@ -1952,20 +1957,56 @@ def _chunk_sorted_step(
     return acc, segments, inv, pixel_map
 
 
+# ---- exact segment totals --------------------------------------------
+# Per-TILE segment counts leave the kernel as f32 — exact integers (one
+# launch's per-tile count is bounded by the watchdog work budget, far
+# below 2^24). Reducing them to a scalar in f32 is NOT exact (the cover
+# render totals 1.24e9 ≫ 2^24), and worse, the ROUNDING depends on the
+# pixel→tile partition: the sort plan differs between scan variants
+# (the cluster profile counts walk iterations, not bounces), so the
+# round-4 device A/B saw bitwise-identical images with "unequal"
+# segment counts and auto-rejected the fastest variant. (The reported
+# flat total 1240385792 is divisible by 128 — the f32 ulp at that
+# magnitude — pure reduction rounding, not a counting defect.)
+# Totals therefore ride as an int32 pair [hi, lo] (value = hi·4096 +
+# lo; each component stays exact past any realistic render: bound
+# ~2^31·4096 ≈ 8.8e12 segments) and round to f32 ONCE at the API
+# boundary — a deterministic function of the exact integer total, so
+# equal work compares equal regardless of plan, partition or chunking.
+
+
+def _seg_pair(counts) -> jnp.ndarray:
+    """Per-tile f32 segment counts → exact (2,) int32 [hi, lo] total
+    (value hi·4096 + lo). Inputs must be exact integers < 2^24 — true
+    for any single launch, and for the unsorted path's cross-chunk
+    per-tile sums up to ~1500 effective spp·bounces per pixel."""
+    t = counts.astype(jnp.int32)
+    return jnp.stack([jnp.sum(t >> 12), jnp.sum(t & 0xFFF)])
+
+
+def _seg_value(pair) -> jnp.ndarray:
+    """(2,) int32 segment pair → f32 scalar total, rounding exactly
+    once (deterministically) at the end."""
+    hi = pair[0] + (pair[1] >> 12)
+    lo = pair[1] & 0xFFF
+    return hi.astype(jnp.float32) * 4096.0 + lo.astype(jnp.float32)
+
+
 def _accumulate_sorted(out, acc, segments, inv, k_slots: int,
                        nacc: int = 4):
     """Fold one sorted-layout chunk's tile sums into the pixel-space
     accumulator (rgb + cumulative cost, + n/lum² when adaptive) and the
-    segment counter — shared by the chunk-at-a-time path and the fused
-    lax.scan path so their accumulation stays op-for-op identical
-    (bitwise image parity)."""
+    segment counter (an exact int32 [hi, lo] pair — see _seg_pair) —
+    shared by the chunk-at-a-time path and the fused lax.scan path so
+    their accumulation stays op-for-op identical (bitwise image
+    parity)."""
     flat = (
         _rgbc_channels(out, k_slots, nacc)
         .transpose(2, 0, 1, 3, 4)
         .reshape(nacc, -1)
     )
     acc = acc + jnp.take(flat, inv, axis=1)
-    segments = segments + jnp.sum(out[:, nacc * k_slots, 0, 0])
+    segments = segments + _seg_pair(out[:, nacc * k_slots, 0, 0])
     return acc, segments
 
 
@@ -1987,7 +2028,7 @@ def _finalize(acc, width: int, height: int, spp: int, gamma: bool,
     ) * (1.0 / spp)
     if gamma:
         image = jnp.sqrt(jnp.maximum(image, 0.0))
-    return image, jnp.sum(acc[:, 4 * k_slots, 0, 0])
+    return image, _seg_pair(acc[:, 4 * k_slots, 0, 0])
 
 
 def _rgbc_channels(out, k_slots: int, nacc: int = 4):
@@ -2184,7 +2225,7 @@ def _profile_to_plan(out0, width: int, height: int, r_sub: int,
     assignment). ``height``/``row_offset`` are a shard's band height and
     absolute band start when called shard-locally."""
     acc = _tiles_to_flat(out0, width, height, r_sub, k_slots)
-    segments = jnp.sum(out0[:, 4 * k_slots, 0, 0])
+    segments = _seg_pair(out0[:, 4 * k_slots, 0, 0])
     inv, pixel_map = _plan_from_cost(acc[3], width, r_sub, k_slots,
                                      row_offset, block_stride)
     return acc, segments, inv, pixel_map
@@ -2395,7 +2436,7 @@ def _render_adaptive_profiled(
         out0, width, local_height if local_height is not None else height,
         r_sub, k_slots, 6,
     )
-    segments = jnp.sum(out0[:, 6 * k_slots, 0, 0])
+    segments = _seg_pair(out0[:, 6 * k_slots, 0, 0])
     inv, pm = _plan_adaptive(
         acc, width, r_sub, k_slots, cs_next, opts.adaptive_tolerance,
         row_offset=row_offset, block_stride=opts.row_block_stride,
@@ -2622,7 +2663,7 @@ def _render_pallas(
                 acc, width, height, opts.gamma, r_sub, k_slots
             )
             if return_stats:
-                return image, {"segments": segments,
+                return image, {"segments": _seg_value(segments),
                                "mean_spp": mean_spp,
                                "spp_map": spp_map}
             return image
@@ -2665,7 +2706,7 @@ def _render_pallas(
         image, segments = _finalize(acc, width, height, spp, opts.gamma,
                                     r_sub, k_slots)
         if return_stats:
-            return image, {"segments": segments}
+            return image, {"segments": _seg_value(segments)}
         return image
 
     # PROFILE-GUIDED PIXEL SORTING for multi-chunk renders: the first chunk
@@ -2701,7 +2742,7 @@ def _render_pallas(
     image = _finalize_flat(acc[:3], width, height, spp, opts.gamma, r_sub,
                            k_slots)
     if return_stats:
-        return image, {"segments": segments}
+        return image, {"segments": _seg_value(segments)}
     return image
 
 
@@ -2748,26 +2789,25 @@ def render_image_pallas(
         k_slots //= 2
     caux, n_global = None, 0
     chunk_count = scene.count  # pre-swap: keeps cluster chunking == flat
-    if opts.cluster_scan:
-        if static_cluster is not None:
-            # progressive static-hint path: the partition was built once
-            # at factory time from concrete hints (same contract as
-            # static_split — the per-frame scene must match the hint's
-            # GEOMETRY, or the prebuilt bounds stop being conservative);
-            # the traced scene is gathered into its slot layout here
-            bounds, uuid, n_global = static_cluster
-            scene = _cluster_reorder(scene, uuid)
-            caux = (bounds, uuid)
-        else:
-            part = _cluster_partition(scene, opts)
-            if part is not None:
-                # gathered cluster scan: swap in the partition's
-                # reordered scene (globals first, then grid-cell
-                # clusters); the kernel gathers the winner's ORIGINAL
-                # index (uuid) so picking/debug parity is preserved
-                scene = part.scene
-                caux = (_part_bounds(part, opts), part.uuid)
-                n_global = part.n_global
+    if static_cluster is not None:
+        # progressive static-hint path: the partition was built once
+        # at factory time from concrete hints (same contract as
+        # static_split — the per-frame scene must match the hint's
+        # GEOMETRY, or the prebuilt bounds stop being conservative);
+        # the traced scene is gathered into its slot layout here
+        bounds, uuid, n_global = static_cluster
+        scene = _cluster_reorder(scene, uuid)
+        caux = (bounds, uuid)
+    elif cluster_scan_enabled(opts, scene.count):
+        part = _cluster_partition(scene, opts)
+        if part is not None:
+            # gathered cluster scan: swap in the partition's
+            # reordered scene (globals first, then grid-cell
+            # clusters); the kernel gathers the winner's ORIGINAL
+            # index (uuid) so picking/debug parity is preserved
+            scene = part.scene
+            caux = (_part_bounds(part, opts), part.uuid)
+            n_global = part.n_global
     return _render_pallas(
         scene, dcam, key, width, height, spp, opts, return_stats, r_sub,
         interpret, k_slots, debug=debug, static_split=static_split,

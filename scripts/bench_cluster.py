@@ -93,7 +93,8 @@ def main():
         variants = [("box", 1), ("box", 2), ("sphere", 2), ("sphere", 3)]
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)  # flat baseline
     key = jax.random.PRNGKey(0)
 
     wall_f, segs_f, img_f = time_render(scene, dcam, w, h, spp_t, opts, key)

@@ -30,7 +30,8 @@ def main():
     rr = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr,
+                        cluster_scan=False)
     key = jax.random.PRNGKey(0)
 
     def run(kk):

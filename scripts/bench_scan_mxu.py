@@ -67,7 +67,8 @@ def main():
     spp_d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)  # flat baseline for the MXU A/B
     opts_m = dataclasses.replace(opts, scan_mxu=True)
     key = jax.random.PRNGKey(0)
 

@@ -88,7 +88,12 @@ def main() -> int:
     # at this crop's natural budget the whole render would fit one
     # unsorted chunk and the gate would never exercise the sorted or
     # fused-scan machinery against split_scan on/off.
-    opts = TraceOptions(max_depth=20, russian_roulette_depth=5)
+    # cluster_scan pinned OFF: this check exercises the FLAT scan's
+    # split-scan machinery (cluster mode has nothing to split — caux
+    # renders would make the on/off comparison vacuous). The production
+    # cluster default is gated by check 6 below.
+    opts = TraceOptions(max_depth=20, russian_roulette_depth=5,
+                        cluster_scan=False)
     key = jax.random.PRNGKey(11)
     orig = pk._pick_chunk_spp
     try:
@@ -113,7 +118,8 @@ def main() -> int:
     orig = pk._pick_chunk_spp
     try:
         pk._pick_chunk_spp = lambda spp, *args, **kw: min(spp, 3)
-        opts8 = TraceOptions(max_depth=8, russian_roulette_depth=5)
+        opts8 = TraceOptions(max_depth=8, russian_roulette_depth=5,
+                             cluster_scan=False)
         k7 = jax.random.PRNGKey(7)
         imgs = []
         for ks in (1, 4):
@@ -177,10 +183,13 @@ def main() -> int:
     # this glass-heavy crop is ~0.018 mean|d| (two independent 32-spp MC
     # estimates); 0.025 leaves noise headroom while catching the
     # wrong-image regressions this gate exists for (historically >0.1).
-    opts32 = TraceOptions(max_depth=8)
-    imgp = np.asarray(pk.render_image_pallas(
-        scene, dcam, 256, 64, 32, k7, opts32
-    ))
+    # flat scan pinned: imgp is the FLAT reference image that checks 5/6
+    # compare their variants against
+    opts32 = TraceOptions(max_depth=8, cluster_scan=False)
+    imgp, stats_flat = pk.render_image_pallas(
+        scene, dcam, 256, 64, 32, k7, opts32, return_stats=True
+    )
+    imgp = np.asarray(imgp)
     imgj = np.asarray(
         render_image_jnp(scene, dcam, 256, 64, 32, k7, opts32)
     )
@@ -217,30 +226,39 @@ def main() -> int:
         f"(chunk maxdiff {chunk_max:.2e}, mean|d| vs random {mad_s:.4f})",
     )
 
-    # 6. gathered cluster scan (round 4): per-lane tpu.dynamic_gather +
-    # bounce-done-masked regeneration must reproduce the flat scan
-    # BITWISE on hardware (proven in interpret mode; this catches Mosaic
-    # lowering/numerics divergence in the gather, the lexicographic
-    # extract, and the banked winner fetch). ADVISORY ONLY (WARN, not a
-    # gate): cluster_scan is opt-in and scripts/bench_cluster.py is its
-    # adopt/reject decision point — an experimental-kernel lowering
-    # failure must not block the fixed-spp BENCH capture this gate
-    # protects. cpi=1 and cpi=2 exercise both extract shapes cheaply.
-    for cpi in (1, 2):
+    # 6. gathered cluster scan — now the PRODUCTION DEFAULT (round-5:
+    # cluster_scan='auto' after the round-4 device ADOPT), so this is a
+    # real gate: per-lane tpu.dynamic_gather + bounce-done-masked
+    # regeneration must reproduce the flat scan BITWISE on hardware
+    # (catches Mosaic lowering/numerics divergence in the gather, the
+    # lexicographic extract, and the banked winner fetch), and the
+    # EXACT segment accounting (pallas_kernel._seg_pair int32 totals,
+    # round-5) must report cluster == flat — variants sweep both
+    # extract shapes (cpi 1/2) on the production box bounds plus one
+    # sphere-bounds row.
+    for bounds, cpi in (("box", 1), ("box", 2), ("sphere", 2)):
         opts_cl = dataclasses.replace(
-            opts32, cluster_scan=True, cluster_cpi=cpi
+            opts32, cluster_scan=True, cluster_bounds=bounds,
+            cluster_cpi=cpi,
         )
         try:
-            img_cl = np.asarray(pk.render_image_pallas(
-                scene, dcam, 256, 64, 32, k7, opts_cl
-            ))
-            ok_cl = bool(np.array_equal(img_cl, imgp))
-            detail = f"(maxdiff {np.abs(img_cl - imgp).max():.2e})"
+            img_cl, stats_cl = pk.render_image_pallas(
+                scene, dcam, 256, 64, 32, k7, opts_cl, return_stats=True
+            )
+            img_cl = np.asarray(img_cl)
+            segs_ok = float(stats_cl["segments"]) == float(
+                stats_flat["segments"]
+            )
+            ok_cl = bool(np.array_equal(img_cl, imgp)) and segs_ok
+            detail = (
+                f"(maxdiff {np.abs(img_cl - imgp).max():.2e}, segs "
+                f"{float(stats_cl['segments']):.0f}/"
+                f"{float(stats_flat['segments']):.0f})"
+            )
         except Exception as e:  # lowering/compile failure is the finding
             ok_cl = False
             detail = f"({type(e).__name__}: {str(e)[:120]})"
-        status = "ok" if ok_cl else "WARN (advisory, not gating)"
-        print(f"[device-check] cluster-scan-cpi{cpi}: {status} {detail}")
+        check(f"cluster-scan-{bounds}-cpi{cpi}", ok_cl, detail)
 
     if FAILURES:
         print(f"[device-check] FAILED: {', '.join(FAILURES)}")

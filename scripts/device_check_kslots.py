@@ -13,7 +13,8 @@ orig = pk._pick_chunk_spp
 pk._pick_chunk_spp = lambda spp, *a, **k: min(spp, 3)
 scene, cam, *_ = presets.get_config('cover', 256, 64)
 dcam = derive_camera(cam)
-opts = TraceOptions(max_depth=8, russian_roulette_depth=5)
+opts = TraceOptions(max_depth=8, russian_roulette_depth=5,
+                    cluster_scan=False)
 key = jax.random.PRNGKey(7)
 imgs, segs = [], []
 for ks in (1, 4):

@@ -30,7 +30,8 @@ def main():
     # bitwise parity on a cover crop (multi-chunk, sorted, rr5)
     scene, cam, *_ = presets.get_config("cover", 256, 64)
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=20, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=20, russian_roulette_depth=5,
+                        cluster_scan=False)
     key = jax.random.PRNGKey(11)
     flags = pk._containable_flags(scene, dcam, opts)
     print(f"cover crop: {int(flags.sum())}/{flags.shape[0]} containable")
@@ -49,7 +50,8 @@ def main():
     # full cover timing
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)
     flags = pk._containable_flags(scene, dcam, opts)
     print(f"cover: {int(flags.sum())}/{flags.shape[0]} containable")
 

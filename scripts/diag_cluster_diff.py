@@ -39,7 +39,8 @@ def main():
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 500
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)  # flat reference
     oc = dataclasses.replace(
         opts, cluster_scan=True, cluster_cpi=cpi, cluster_bounds=bounds
     )

@@ -96,7 +96,8 @@ def main():
     if _os.path.exists(cache):
         cost2 = np.load(cache)
     else:
-        opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+        opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                            cluster_scan=False)
         kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
         seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
         split = pk._containable_split(scene, dcam, opts)

@@ -65,7 +65,7 @@ def replay(scene, dcam, seed, local_h, row_offset, r_sub, k_slots, opts,
         )
         cost_total += tile_cost(out, k_slots)
         segments += float(np.asarray(out[:, 4 * k_slots, 0, 0]).sum())
-        acc, _ = pk._accumulate_sorted(out, acc, jnp.float32(0), inv,
+        acc, _ = pk._accumulate_sorted(out, acc, jnp.zeros((2,), jnp.int32), inv,
                                        k_slots)
         inv, pm = pk._plan_from_cost(acc[3], W, r_sub, k_slots, row_offset)
         offset += cs
@@ -82,7 +82,8 @@ def tile_cost(out, k_slots):
 def main():
     scene, cam, *_ = presets.get_config("cover", W, H)
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=DEPTH, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=DEPTH, russian_roulette_depth=5,
+                        cluster_scan=False)
     kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
     split = pk._containable_split(scene, dcam, opts)

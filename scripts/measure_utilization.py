@@ -57,7 +57,8 @@ def accum_and_plan(acc, segments, out, inv, w, r_sub, k_slots):
 def main(k_slots=4, spp=500, rr=5):
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=rr,
+                        cluster_scan=False)  # flat-scan tile profile
     kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
 

@@ -55,7 +55,7 @@ def subscene(scene, mask):
 def main():
     scene, cam_cfg, *_ = presets.get_config("cover", WIDTH, HEIGHT)
     dcam = cam_mod.derive_camera(cam_cfg)
-    opts = TraceOptions(max_depth=MAX_DEPTH)
+    opts = TraceOptions(max_depth=MAX_DEPTH, cluster_scan=False)
 
     centers = np.asarray(scene.center)
     radii = np.asarray(scene.radius)
@@ -193,7 +193,7 @@ def attribution():
     the per-ray ceiling. Also cell-count stats for 2-D gather designs."""
     scene, cam_cfg, *_ = presets.get_config("cover", WIDTH, HEIGHT)
     dcam = cam_mod.derive_camera(cam_cfg)
-    opts = TraceOptions(max_depth=MAX_DEPTH)
+    opts = TraceOptions(max_depth=MAX_DEPTH, cluster_scan=False)
 
     centers = np.asarray(scene.center)
     radii = np.asarray(scene.radius)

@@ -36,7 +36,8 @@ CHUNK_SPP = 20
 def main():
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)  # flat-scan probe
 
     results = []
     for total in (488, 744, 1024):

@@ -120,7 +120,8 @@ def main():
 
     scene, cam, w, h, _, depth = presets.get_config("cover")
     dcam = derive_camera(cam)
-    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False)  # models the FLAT scan
     kd = jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32)
     seed = (kd[0] ^ pk._lowbias32(kd[1])).astype(jnp.int32)
     split = pk._containable_split(scene, dcam, opts)
@@ -138,6 +139,7 @@ def main():
     from raytracer_tpu.render.api import render_image
 
     prod = TraceOptions(max_depth=depth, russian_roulette_depth=5,
+                        cluster_scan=False,
                         backend="pallas")
     scene_o, cam_o, *_ = presets.get_config("cover")
 

@@ -25,6 +25,69 @@ def test_step_fn_spp_zero_raises():
         make_step_fn(32, 16, spp=0)
 
 
+def test_cluster_scan_auto_resolution():
+    """The production default cluster_scan='auto' engages the gathered
+    cluster scan exactly for scenes >= CLUSTER_AUTO_MIN_SPHERES slots
+    (the round-4 device-ADOPTED config), defers to an explicit scan_mxu
+    opt-in, and validates its inputs."""
+    import dataclasses
+
+    from raytracer_tpu.render.options import (
+        CLUSTER_AUTO_MIN_SPHERES,
+        cluster_scan_enabled,
+    )
+
+    o = TraceOptions()
+    assert o.cluster_scan == "auto"
+    assert o.cluster_bounds == "box"  # the device-ADOPTED bound shape
+    assert cluster_scan_enabled(o, CLUSTER_AUTO_MIN_SPHERES)
+    assert cluster_scan_enabled(o, 487)
+    assert not cluster_scan_enabled(o, CLUSTER_AUTO_MIN_SPHERES - 1)
+    # explicit settings win regardless of scene size
+    assert cluster_scan_enabled(
+        dataclasses.replace(o, cluster_scan=True), 2
+    )
+    assert not cluster_scan_enabled(
+        dataclasses.replace(o, cluster_scan=False), 487
+    )
+    # 'auto' yields to an explicit alternative-scan opt-in ...
+    assert not cluster_scan_enabled(
+        dataclasses.replace(o, scan_mxu=True), 487
+    )
+    # ... but an explicit DOUBLE opt-in is a contradiction
+    with pytest.raises(ValueError, match="alternative scan"):
+        TraceOptions(cluster_scan=True, scan_mxu=True)
+    with pytest.raises(ValueError, match="cluster_scan"):
+        TraceOptions(cluster_scan="always")
+
+
+def test_cluster_auto_engages_on_big_scenes(monkeypatch):
+    """render_image_pallas under the default options must host-build the
+    cluster partition for a >= 64-slot scene and skip it for a small
+    one (spy at the partition gate — no render needed for the skip)."""
+    from raytracer_tpu.camera.camera import derive_camera
+    from raytracer_tpu.render import pallas_kernel as pk
+
+    calls = []
+    real = pk._cluster_partition
+
+    def spy(scene, opts):
+        calls.append(scene.count)
+        return real(scene, opts)
+
+    monkeypatch.setattr(pk, "_cluster_partition", spy)
+    key = jax.random.PRNGKey(0)
+    scene, cam, *_ = presets.get_config("cover", 64, 32)
+    pk.render_image_pallas(scene, derive_camera(cam), 64, 32, 1, key,
+                           TraceOptions(max_depth=2))
+    assert calls, "auto default did not reach the partition gate"
+    small, cam2, *_ = presets.get_config("demo", 64, 32)
+    calls.clear()
+    pk.render_image_pallas(small, derive_camera(cam2), 64, 32, 1, key,
+                           TraceOptions(max_depth=2))
+    assert not calls, "auto engaged on a sub-threshold scene"
+
+
 def test_resolve_backend_cpu():
     # tests run on the CPU backend: auto must resolve to jnp there
     assert resolve_backend("auto") == "jnp"

@@ -561,7 +561,9 @@ def test_cluster_scan_bitwise_equals_flat(monkeypatch):
     scene, cam, *_ = presets.get_config("cover", W, H)
     dcam = derive_camera(cam)
     key = jax.random.PRNGKey(0)
-    opts = TraceOptions(max_depth=12, russian_roulette_depth=5)
+    # flat baseline pinned: cover >= 64 slots would resolve 'auto' → on
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5,
+                        cluster_scan=False)
     opts_c = dataclasses.replace(opts, cluster_scan=True)
 
     part = pk._cluster_partition(scene, opts_c)
@@ -608,7 +610,8 @@ def test_cluster_chunk_schedule_matches_flat(monkeypatch):
     # same opts/spp as test_cluster_scan_bitwise_equals_flat so the
     # megakernel compiles hit the in-process jit cache when the file
     # runs in order (the spy intercepts at dispatch time either way)
-    opts = TraceOptions(max_depth=12, russian_roulette_depth=5)
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5,
+                        cluster_scan=False)
     opts_c = dataclasses.replace(opts, cluster_scan=True)
 
     part = pk._cluster_partition(scene, opts_c)
