@@ -71,7 +71,7 @@ def _bench_one(config, backend, repeats, spp_override=None):
         max_depth=depth, backend=backend, russian_roulette_depth=rr,
         scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
         cluster_scan=_cluster_opt(scene.count),
-        cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
+        cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "1")),
         cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "box"),
     )
     key = jax.random.PRNGKey(0)
@@ -282,7 +282,7 @@ def main() -> int:
             # knobs (scripts/bench_cluster.py / bench_scan_mxu.py)
             scan_mxu=os.environ.get("BENCH_SCAN_MXU", "0") == "1",
             cluster_scan=_cluster_opt(scene.count),
-            cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "2")),
+            cluster_cpi=int(os.environ.get("BENCH_CLUSTER_CPI", "1")),
             cluster_bounds=os.environ.get("BENCH_CLUSTER_BOUNDS", "box"),
         )
         key = jax.random.PRNGKey(0)

@@ -163,8 +163,12 @@ class TraceOptions:
     cluster_scan: bool | str = "auto"
     #: clusters extracted + exact-tested per iteration (amortizes the
     #: per-iteration fixed work over more member tests; the cost model in
-    #: scripts/measure_cluster_hits.py sizes this)
-    cluster_cpi: int = 2
+    #: scripts/measure_cluster_hits.py sizes this). Default 1 — the
+    #: round-5 device ADOPT (box:cpi=1 at 1.989x over the flat scan,
+    #: bitwise + exact-segments equal, scripts/bench_cluster.py; the
+    #: round-4 gate had auto-rejected it on what turned out to be f32
+    #: reduction rounding in the segment totals, PERF.md)
+    cluster_cpi: int = 1
     #: broad-phase bound shape: 'box' (member AABB slab test, ~27 VPU
     #: ops/bound-row — the device-ADOPTED default, measured 1.86-2.0x
     #: over the flat scan on the cover vs 1.36-1.41x for 'sphere',

@@ -6,19 +6,19 @@ Must run before anything imports jax — pytest imports conftest first.
 
 import os
 import sys
-import tempfile
 
 # Hard override: the ambient environment pins JAX_PLATFORMS=axon (the real
 # TPU tunnel); tests must run on local CPU with virtual devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Isolate the persistent XLA cache: CLI tests call
-# enable_persistent_cache() IN-PROCESS, which would otherwise point the
-# whole pytest process at the shared on-disk cache — a killed test run
-# can leave a truncated entry there, and deserializing one SEGFAULTS
-# jax (observed 2026-08-18: crash in compilation_cache.
-# get_executable_and_time mid-suite). A per-run temp dir keeps test
-# cache traffic away from the CLI/bench/device cache entirely.
-os.environ["RAYTRACER_TPU_CACHE"] = tempfile.mkdtemp(prefix="rt_test_xla_")
+# Disable the persistent XLA cache outright: CLI tests call
+# enable_persistent_cache() IN-PROCESS, so the suite gets no
+# cross-process reuse from it, while BOTH cache paths have segfaulted
+# jax mid-suite — deserializing a truncated entry (2026-08-18,
+# get_executable_and_time; led to the per-run mkdtemp isolation) and
+# then the WRITE path itself (2026-08-19, put_executable_and_time,
+# VERDICT r4). 'off' is honored by utils.jaxcache and also skips
+# serializing every >1s executable the suite compiles.
+os.environ["RAYTRACER_TPU_CACHE"] = "off"
 os.environ["XLA_PYTHON_CLIENT_PREALLOCATE"] = "false"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
