@@ -10,18 +10,29 @@ half-block characters (two pixels per character cell):
     r           reset scene ("Reset")              x         save PNG ("Save Image")
     g           toggle debug overlay               q         quit
 
-Two deliberate divergences from the browser (both raw-terminal
-constraints, not omissions — see src/dom.rs:48-114):
+Continuous mouse input (the pointer-lock analog, src/dom.rs:105-114,
+160-273): on a tty the viewer enables xterm SGR mouse reporting
+(``CSI ?1002h`` button-event tracking + ``?1006h`` SGR encoding — spoken
+by xterm, kitty, ghostty, wezterm, iTerm2, tmux…), so **dragging with
+the left button looks around continuously** through the exact
+``Engine.handle_mouse_move`` path the reference's pointer-lock handler
+feeds, and the **scroll wheel zooms fov** like the browser wheel
+(src/dom.rs:34-40). Terminals without mouse support keep the discrete
+i/j/k/l / arrow-key fallback (``LOOK_STEP`` "pixels" per press).
+
+Full-resolution display (``--display kitty``): frames are transmitted
+pixel-perfect via the kitty graphics protocol (app/display.py) instead
+of downsampled ANSI half-blocks — the analog of the reference blitting
+the whole canvas every frame (src/dom.rs:277-291).
+
+One deliberate divergence from the browser remains (a raw-terminal
+constraint, not an omission — see src/dom.rs:48-103):
 
 * **Held keys.** The reference gets keydown/keyup pairs and moves while
   a key is down. Raw terminals deliver only key *repeats*, so each
   movement keypress arms a 200 ms hold window (``KEY_HOLD_MS``) that the
   OS repeat rate (typically 30–60 ms once repeating) keeps refreshed —
   holding a key moves continuously, releasing stops within 200 ms.
-* **Mouse look.** There is no pointer-lock in a terminal; continuous
-  mouse deltas (src/dom.rs:105-114) become discrete i/j/k/l or
-  arrow-key steps of ``LOOK_STEP`` "pixels" through the same
-  ``Engine.handle_mouse_move`` path the reference's handler feeds.
 
 The frame loop is exactly the Engine tick (trace 1 spp → accumulate →
 display), i.e. the rAF loop of src/lib.rs:61-107 driven by a terminal clock.
@@ -124,22 +135,51 @@ _LOOK_TOKENS = {  # token → (dx, dy) mouse-move analog
     "l": (+LOOK_STEP, 0.0), "right": (+LOOK_STEP, 0.0),
 }
 
+#: longest plausible SGR mouse report (ESC [ < btn ; col ; row M); a
+#: longer unterminated "[<..." run is malformed input, not a split read
+_SGR_MAX = 24
 
-def parse_keys(chars: list[str], pending: str = "") -> tuple[list[str], str]:
-    """Raw char stream → key tokens, decoding arrow escape sequences.
+#: SGR button codes 64/65 = wheel up/down → fov zoom (src/dom.rs:34-40)
+MOUSE_WHEEL_UP, MOUSE_WHEEL_DOWN = 64, 65
+
+
+def parse_keys(chars: list[str], pending: str = ""):
+    """Raw char stream → key tokens, decoding arrow and SGR mouse
+    escape sequences.
 
     Returns ``(tokens, pending)``: ``pending`` carries an incomplete
     trailing escape sequence into the next drain (sequences can split
     across reads). A lone ESC (the Escape key, src/dom.rs:62-65) stays
     pending until the caller sees a drain with no new input and flushes
     it — that's how terminals disambiguate Esc from Esc-prefixed keys.
+
+    Key tokens are strings; mouse reports (``CSI < Cb;Cx;Cy M|m``,
+    xterm SGR 1006 mode) become ``("mouse", Cb, Cx, Cy, is_release)``
+    tuples for the caller's drag/wheel handling.
     """
     buf = pending + "".join(chars)
-    tokens: list[str] = []
+    tokens: list = []
     i = 0
     while i < len(buf):
         c = buf[i]
         if c == "\x1b":
+            if buf[i + 1:i + 3] == "[<":
+                # SGR mouse report: scan for the M/m terminator
+                end = i + 3
+                while end < len(buf) and buf[end] not in "Mm":
+                    end += 1
+                if end >= len(buf):
+                    if end - i <= _SGR_MAX:
+                        return tokens, buf[i:]  # split across reads — hold
+                    i = end  # unterminated flood: drop, don't wedge
+                    continue
+                try:
+                    cb, cx, cy = (int(p) for p in buf[i + 3:end].split(";"))
+                    tokens.append(("mouse", cb, cx, cy, buf[end] == "m"))
+                except ValueError:
+                    pass  # malformed report — drop it
+                i = end + 1
+                continue
             seq = buf[i + 1:i + 3]
             if len(seq) < 2 and (not seq or seq in ("[", "O")):
                 return tokens, buf[i:]  # maybe incomplete — hold it
@@ -155,6 +195,39 @@ def parse_keys(chars: list[str], pending: str = "") -> tuple[list[str], str]:
     return tokens, ""
 
 
+class MouseLook:
+    """Left-button drag → continuous look deltas (the pointer-lock analog).
+
+    The reference feeds raw ``movementX/movementY`` pixel deltas to the
+    look handler (src/dom.rs:105-114); a terminal reports positions in
+    character cells, so deltas are scaled by the cell's size in render
+    pixels (``cell_px``; half-block cells are two pixels tall, hence the
+    2× vertical factor) before entering the same handler."""
+
+    def __init__(self, cell_px: float):
+        self.cell_px = max(1.0, float(cell_px))
+        self._last: tuple[int, int] | None = None
+
+    def feed(self, cb: int, x: int, y: int, release: bool):
+        """One SGR report → ``(dx, dy)`` look delta or None."""
+        if cb >= 64:  # wheel — the caller routes it to fov zoom
+            return None
+        btn, motion = cb & 3, bool(cb & 32)
+        if release:
+            self._last = None
+            return None
+        if motion:
+            if self._last is None:
+                return None
+            dx = (x - self._last[0]) * self.cell_px
+            dy = (y - self._last[1]) * self.cell_px * 2.0
+            self._last = (x, y)
+            return (dx, dy) if (dx or dy) else None
+        if btn == 0:  # left press arms the drag
+            self._last = (x, y)
+        return None
+
+
 def run_viewer(
     config: str = "demo",
     width: int = 320,
@@ -165,6 +238,7 @@ def run_viewer(
     cols: int = 100,
     sampler: str = "random",
     cluster_scan: bool | str = "auto",
+    display: str = "ansi",
 ):
     scene, cam, *_ = presets.get_config(config, width, height)
     engine = Engine(scene, cam, width, height, spp=1, max_depth=8,
@@ -175,9 +249,14 @@ def run_viewer(
     held: dict = {}
     pending = ""
     frame = 0
+    mouse = MouseLook(width / max(1, cols))
     out = sys.stdout
     with _RawTerminal() as term:
         out.write("\x1b[2J")  # clear
+        if term.enabled:
+            # SGR mouse reporting: button-event tracking (press/release/
+            # drag motion + wheel) in unambiguous 1006 encoding
+            out.write("\x1b[?1002h\x1b[?1006h")
         try:
             while max_frames is None or frame < max_frames:
                 now = time.monotonic() * 1000.0
@@ -189,6 +268,17 @@ def run_viewer(
                     tokens.append("escape")
                     pending = ""
                 for k in tokens:
+                    if isinstance(k, tuple):  # ("mouse", cb, x, y, release)
+                        _, cb, mx, my, rel = k
+                        if cb == MOUSE_WHEEL_UP and not rel:
+                            engine.handle_wheel(-1.0)
+                        elif cb == MOUSE_WHEEL_DOWN and not rel:
+                            engine.handle_wheel(+1.0)
+                        else:
+                            d = mouse.feed(cb, mx, my, rel)
+                            if d:
+                                engine.handle_mouse_move(*d)
+                        continue
                     if k == "q":
                         return frame
                     elif k == "p":
@@ -227,7 +317,12 @@ def run_viewer(
 
                 fps = engine.app.average_fps(now)
                 out.write("\x1b[H")  # home
-                out.write(frame_to_ansi(engine.framebuffer(), cols))
+                if display == "kitty":
+                    from raytracer_tpu.app.display import kitty_frame
+
+                    out.write(kitty_frame(engine.framebuffer()))
+                else:
+                    out.write(frame_to_ansi(engine.framebuffer(), cols))
                 status = (
                     f"\n[{config}] frame {frame} "
                     f"acc {int(engine.render_state.render_count)} "
@@ -235,8 +330,8 @@ def run_viewer(
                 if fps is not None:
                     status += f"{fps:5.1f} fps "
                 status += (
-                    "(wasd/ec move, ijkl/arrows look, +/- zoom, p pause, "
-                    "g debug, x save, q quit)"
+                    "(wasd/ec move, drag/ijkl/arrows look, wheel/+/- zoom, "
+                    "p pause, g debug, x save, q quit)"
                 )
                 out.write(status + "\x1b[K")
                 out.flush()
@@ -246,6 +341,8 @@ def run_viewer(
                 if sleep_ms > 0:
                     time.sleep(sleep_ms / 1000.0)
         finally:
+            if term.enabled:
+                out.write("\x1b[?1002l\x1b[?1006l")
             out.write("\x1b[0m\n")
             out.flush()
     return frame
@@ -279,9 +376,16 @@ if __name__ == "__main__":
         "--no-cluster-scan", dest="cluster_scan", action="store_const",
         const=False, help="force the flat scan",
     )
+    p.add_argument(
+        "--display", default="ansi", choices=("ansi", "kitty"),
+        help="frame encoding: ansi half-blocks (any terminal, "
+        "downsampled to --cols) or the kitty graphics protocol "
+        "(full-resolution pixels; kitty/ghostty/wezterm)",
+    )
     a = p.parse_args()
     from raytracer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
     run_viewer(a.config, a.width, a.height, a.backend, a.max_frames,
-               cols=a.cols, sampler=a.sampler, cluster_scan=a.cluster_scan)
+               cols=a.cols, sampler=a.sampler, cluster_scan=a.cluster_scan,
+               display=a.display)

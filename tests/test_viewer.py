@@ -64,8 +64,11 @@ def test_viewer_loop_pty_smoke():
     os.close(slave)
     try:
         # exercise every control family while the loop runs (the first
-        # frames include the jit compile, so space the keys out)
-        for key in [b"i", b"j", b"w", b"+", b"p", b"p", b"r"]:
+        # frames include the jit compile, so space the keys out); the
+        # mouse bytes are an SGR press→drag→release→wheel sequence
+        for key in [b"i", b"j", b"w", b"+", b"p", b"p", b"r",
+                    b"\x1b[<0;10;5M", b"\x1b[<32;12;6M",
+                    b"\x1b[<0;12;6m", b"\x1b[<64;5;5M"]:
             os.write(master, key)
             time.sleep(0.3)
         os.write(master, b"q")
@@ -143,3 +146,95 @@ def test_parse_keys_lone_escape_stays_pending_then_flushable():
     tokens, pending = parse_keys(["\x1b", "q"])  # ESC then non-arrow
     assert tokens == ["escape", "q"]
     assert pending == ""
+
+
+def test_parse_keys_decodes_sgr_mouse_reports():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    # press (M), drag motion (btn|32, M), release (m), wheel up
+    tokens, pending = parse_keys(
+        list("\x1b[<0;10;5M\x1b[<32;12;6Mw\x1b[<0;12;6m\x1b[<64;3;3M")
+    )
+    assert tokens == [
+        ("mouse", 0, 10, 5, False),
+        ("mouse", 32, 12, 6, False),
+        "w",
+        ("mouse", 0, 12, 6, True),
+        ("mouse", 64, 3, 3, False),
+    ]
+    assert pending == ""
+
+
+def test_parse_keys_holds_split_mouse_report():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    tokens, pending = parse_keys(list("\x1b[<32;1"))
+    assert tokens == []
+    assert pending == "\x1b[<32;1"
+    tokens, pending = parse_keys(list("40;22Mq"), pending)
+    assert tokens == [("mouse", 32, 140, 22, False), "q"]
+    assert pending == ""
+
+
+def test_parse_keys_drops_malformed_and_flooding_sgr():
+    from raytracer_tpu.app.viewer import parse_keys
+
+    # malformed body (non-integer fields) terminates but emits nothing
+    tokens, pending = parse_keys(list("\x1b[<a;b;cMw"))
+    assert tokens == ["w"]
+    assert pending == ""
+    # an unterminated over-long "[<" run is dropped, not held forever
+    tokens, pending = parse_keys(list("\x1b[<" + "9" * 40))
+    assert tokens == []
+    assert pending == ""
+
+
+def test_mouse_look_drag_semantics():
+    from raytracer_tpu.app.viewer import MouseLook
+
+    m = MouseLook(cell_px=4.0)
+    # motion before any press: no delta (drag not armed)
+    assert m.feed(32, 5, 5, False) is None
+    # press arms, first motion yields cell-scaled deltas (y doubled:
+    # half-block cells are two pixels tall)
+    assert m.feed(0, 10, 5, False) is None
+    assert m.feed(32, 12, 6, False) == (8.0, 8.0)
+    assert m.feed(32, 11, 6, False) == (-4.0, 0.0)
+    # release disarms; further motion is ignored until the next press
+    assert m.feed(0, 11, 6, True) is None
+    assert m.feed(32, 20, 9, False) is None
+    # wheel codes never produce look deltas
+    assert m.feed(64, 1, 1, False) is None
+    assert m.feed(65, 1, 1, False) is None
+
+
+def test_kitty_frame_round_trips_png():
+    from raytracer_tpu.app.display import CHUNK, kitty_frame, parse_kitty_commands
+    from raytracer_tpu.app.io import decode_png
+
+    import base64
+
+    rng = np.random.default_rng(3)
+    # random data is PNG-incompressible, so this spans several 4096-byte
+    # chunks and exercises the m=1/m=0 continuation framing
+    img = rng.random((48, 96, 3), dtype=np.float32)
+    cmds = parse_kitty_commands(kitty_frame(img, image_id=7))
+    assert len(cmds) >= 4  # delete + >=3 transmit chunks
+    # first command deletes the previous placement of this image id
+    assert cmds[0][0] == {"a": "d", "d": "i", "i": "7", "q": "2"}
+    # transmit commands: full keys on the first, m-only continuations,
+    # final chunk m=0, every chunk within the protocol limit
+    first_keys = cmds[1][0]
+    assert first_keys["a"] == "T" and first_keys["f"] == "100"
+    assert first_keys["i"] == "7" and first_keys["q"] == "2"
+    for kv, chunk in cmds[1:-1]:
+        assert kv["m"] == "1"
+        assert len(chunk) == CHUNK
+    assert cmds[-1][0]["m"] == "0"
+    payload = "".join(chunk for _, chunk in cmds[1:])
+    decoded = decode_png(base64.standard_b64decode(payload))
+    assert decoded.shape == (48, 96, 3)
+    # display orientation + quantization match the export pipeline
+    from raytracer_tpu.app.io import tonemap_u8
+
+    assert np.array_equal(decoded, tonemap_u8(img, flip_vertical=True))
