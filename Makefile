@@ -1,10 +1,15 @@
-.PHONY: test native bench clean viewer device-check
+.PHONY: test suite native bench clean viewer device-check
 
 native:
 	$(MAKE) -C raytracer_tpu/native
 
 test: native
 	python -m pytest tests/ -q
+
+# Survivable full run: one pytest subprocess per file, crash retry
+# (XLA has segfaulted mid-suite on this host — see scripts/run_suite.py)
+suite: native
+	python scripts/run_suite.py
 
 # device-only regression gate (run on TPU before every BENCH capture):
 # bf16-split canary, split-scan + K-slot bitwise parity, physics vs jnp

@@ -189,6 +189,29 @@ class TraceOptions:
     cluster_cell: float = 4.0
     #: spheres per cluster (gather/test granularity)
     cluster_group: int = 16
+    #: partition builder: 'grid' (2-D cells of cluster_cell over (x,z),
+    #: the round-4 design) or 'kd' (balanced recursive median bisection
+    #: into exactly ceil(count/group) leaves — scene/accel.py
+    #: build_kd_clustered). The kernel's dominant broad-phase + extract
+    #: cost scales with ceil(K_pad/8) bound-table vreg rows, and the
+    #: cover's grid partition lands at K=36 → 40 padded rows with cells
+    #: only 9-16/16 full; the kd split packs the same spheres into K=32
+    #: leaves of 15-16 → 4 rows instead of 5, with tighter disjoint
+    #: boxes. Conservative bounds → bitwise-identical images (exact
+    #: member tests); device A/B: scripts/bench_cluster_kd.py.
+    cluster_partition: str = "grid"
+    #: INTERNAL perf-probe knobs (scripts/probe_cluster_slopes.py): pad
+    #: the cluster bound table by 8·cluster_pad_k extra UNHITTABLE rows,
+    #: and every cluster's member list by cluster_pad_group extra
+    #: unhittable members. Image-, segment- and RNG-invariant by
+    #: construction (padding encodes unhittable: its broad-phase entry
+    #: sorts after every real candidate and its member quadratic has
+    #: disc < 0 for every real ray), so walls at different pads isolate
+    #: the kernel's per-phase cost slopes — broad+extract per bound-table
+    #: vreg row, member gather+test per member slot — on real hardware.
+    #: Leave at 0 in production.
+    cluster_pad_k: int = 0
+    cluster_pad_group: int = 0
     #: rows-mesh load balancing: assign each shard every-Nth tile-row
     #: BLOCK (round-robin over k_slots·r_sub-row blocks) instead of one
     #: contiguous band. Per-pixel RNG/camera/accumulation are derived
@@ -233,6 +256,16 @@ class TraceOptions:
             raise ValueError(
                 f"cluster_bounds must be 'sphere' or 'box', got "
                 f"{self.cluster_bounds!r}"
+            )
+        if self.cluster_pad_k < 0 or self.cluster_pad_group < 0:
+            raise ValueError(
+                "cluster_pad_k / cluster_pad_group must be >= 0, got "
+                f"{self.cluster_pad_k} / {self.cluster_pad_group}"
+            )
+        if self.cluster_partition not in ("grid", "kd"):
+            raise ValueError(
+                f"cluster_partition must be 'grid' or 'kd', got "
+                f"{self.cluster_partition!r}"
             )
         if self.row_block_stride < 1:
             raise ValueError(

@@ -188,7 +188,11 @@ def _make_kernel(
     # scatter/terminate/regenerate tail runs under a bounce-done mask.
     cluster = cdims is not None
     if cluster:
-        k_pad_c, n_global, group, n_banks = cdims
+        # group = winner-slot stride (real members per cluster);
+        # group_total >= group runs extra UNHITTABLE member slots for
+        # the cluster_pad_group cost probe (they never win, so the slot
+        # arithmetic below stays on the real stride)
+        k_pad_c, n_global, group, n_banks, group_total = cdims
     # slots [0, g_full) run the full near→far root fallback; slots beyond
     # are statically known to never contain a ray origin (see
     # _containable_split), so their far root is never the closest
@@ -682,7 +686,7 @@ def _make_kernel(
                     cidx_f = jnp.concatenate(sel_i[j], axis=0)
                     cidx_f = jnp.minimum(cidx_f, jnp.float32(LANES - 1))
                     cidx = cidx_f.astype(jnp.int32)
-                    for mm in range(group):
+                    for mm in range(group_total):
                         mcx = jnp.take_along_axis(
                             mem_ref[4 * mm], cidx, axis=1
                         )
@@ -1410,7 +1414,8 @@ def _cluster_partition(scene: Scene, opts: TraceOptions):
     from raytracer_tpu.scene.accel import build_grid_clustered
 
     g = build_grid_clustered(
-        host, cell_size=opts.cluster_cell, group=opts.cluster_group
+        host, cell_size=opts.cluster_cell, group=opts.cluster_group,
+        partition=opts.cluster_partition,
     )
     k = g.bounds.shape[0]
     if k == 0 or k > LANES:
@@ -1452,7 +1457,8 @@ def _cluster_reorder(scene: Scene, uuid) -> Scene:
 
 
 def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
-                    group: int, r_sub: int):
+                    group: int, r_sub: int,
+                    pad_k: int = 0, pad_group: int = 0):
     """Device tables of the gathered cluster scan (see _make_kernel).
 
     - btab (K_pad, 4) bound SPHERES [bcx, bcy, bcz, bk1] (bk1 = |bc|² −
@@ -1475,7 +1481,9 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
     - gflat (4·n_global,): the GLOBAL spheres' [cx, cy, cz, k1],
       appended to the SMEM camera uniforms (slot _UNI_GLOBALS on)."""
     k = bounds.shape[0]
-    k_pad = max(8, -(-k // 8) * 8)
+    # pad_k / pad_group: extra unhittable rows for the cost-slope probe
+    # (TraceOptions.cluster_pad_k / cluster_pad_group)
+    k_pad = max(8, -(-k // 8) * 8) + 8 * pad_k
     act, c, k1 = _slot_encoding(scene)
     n_slots = scene.count
     if bounds.shape[1] == 6:
@@ -1501,9 +1509,17 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
     vals = vals.transpose(1, 2, 0).reshape(group * 4, k)
     fill = jnp.zeros((group * 4, LANES - k), jnp.float32)
     fill = fill.at[3::4, :].set(1.0)  # k1 rows: unhittable
+    mrows = jnp.concatenate([vals, fill], axis=1)
+    if pad_group:
+        # extra unhittable member slots (rows 4·group .. 4·group_total):
+        # c = 0, k1 = 1 ⇒ disc = (o·d)² − (d·d)(o·o + 1) < 0 for every
+        # real ray (Cauchy-Schwarz) — never a candidate, pure cost
+        extra = jnp.zeros((pad_group * 4, LANES), jnp.float32)
+        extra = extra.at[3::4, :].set(1.0)
+        mrows = jnp.concatenate([mrows, extra], axis=0)
     mtab = jnp.broadcast_to(
-        jnp.concatenate([vals, fill], axis=1)[:, None, :],
-        (group * 4, r_sub, LANES),
+        mrows[:, None, :],
+        ((group + pad_group) * 4, r_sub, LANES),
     )
 
     r = scene.radius
@@ -1773,10 +1789,11 @@ def _render_chunk_impl(
         bounds, uuid = caux
         k = bounds.shape[0]
         cdims = (
-            max(8, -(-k // 8) * 8),       # K_pad
+            max(8, -(-k // 8) * 8) + 8 * opts.cluster_pad_k,  # K_pad
             n_global,
             opts.cluster_group,
             -(-scene.count // LANES),     # winner banks
+            opts.cluster_group + opts.cluster_pad_group,
         )
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
@@ -1790,7 +1807,8 @@ def _render_chunk_impl(
     ])
     if caux is not None:
         btab, mtab, wtab, gflat = _cluster_tables(
-            scene, bounds, uuid, n_global, opts.cluster_group, r_sub
+            scene, bounds, uuid, n_global, opts.cluster_group, r_sub,
+            pad_k=opts.cluster_pad_k, pad_group=opts.cluster_pad_group,
         )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms + globals

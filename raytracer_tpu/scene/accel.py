@@ -151,13 +151,48 @@ class GridClusteredScene:
     boxes: jnp.ndarray = None
 
 
+def _kd_chunks(idx, centers, radii, group):
+    """Balanced recursive median bisection of sphere indices into
+    ceil(n/group) leaves of <= group members each.
+
+    The gathered cluster scan's dominant broad-phase + extract cost
+    scales with ceil(K_pad/8) bound-table VREG ROWS (sublane groups of
+    8), not with K itself — so a partition whose K is an exact multiple
+    of 8 with full clusters strictly dominates a sparse one: the
+    cover's 4.0-cell grid lands at K=36 (40 padded rows) with cells
+    9-16/16 full, while this split packs the same 484 spheres into
+    K=32 leaves of 15-16 (32 rows). Splits are by the longest axis of
+    the member-AABB at the median, child sizes chosen in multiples of
+    `group` so no leaf overflows and the leaf count is minimal."""
+    idx = np.asarray(idx, np.int64)
+    n = len(idx)
+    if n <= group:
+        return [list(idx)]
+    lo = (centers[idx] - np.abs(radii[idx])[:, None]).min(axis=0)
+    hi = (centers[idx] + np.abs(radii[idx])[:, None]).max(axis=0)
+    axis = int(np.argmax(hi - lo))
+    # left gets half the leaves; member count split proportionally so
+    # every leaf ends up ~n/leaves full (no ragged remainder leaf),
+    # clamped so neither side overflows its leaves' group capacity
+    leaves = -(-n // group)
+    l_left = leaves // 2
+    n_left = int(round(n * l_left / leaves))
+    n_left = max(n - (leaves - l_left) * group,
+                 min(l_left * group, n_left))
+    order = idx[np.argsort(centers[idx, axis], kind="stable")]
+    return (_kd_chunks(order[:n_left], centers, radii, group)
+            + _kd_chunks(order[n_left:], centers, radii, group))
+
+
 def build_grid_clustered(
     scene: Scene,
     cell_size: float = 2.0,
     big_radius: float = 0.5,
     group: int = 8,
+    partition: str = "grid",
 ) -> GridClusteredScene:
-    """Host-side build of the ground-separated 2-D grid partition."""
+    """Host-side build of the ground-separated partition: 'grid' (2-D
+    cells over (x, z)) or 'kd' (balanced median bisection, _kd_chunks)."""
     centers = np.asarray(scene.center, np.float64)
     radii = np.asarray(scene.radius, np.float64)
     active = np.asarray(scene.active) > 0.0
@@ -167,34 +202,42 @@ def build_grid_clustered(
     order = list(np.where(big)[0])
     n_global = len(order)
 
-    cells: dict = {}
-    for i in np.where(small)[0]:
-        key = (
-            int(np.floor(centers[i, 0] / cell_size)),
-            int(np.floor(centers[i, 2] / cell_size)),
-        )
-        cells.setdefault(key, []).append(int(i))
+    if partition == "kd":
+        chunks = ([] if not small.any()
+                  else _kd_chunks(np.where(small)[0], centers, radii,
+                                  group))
+    else:
+        cells: dict = {}
+        for i in np.where(small)[0]:
+            key = (
+                int(np.floor(centers[i, 0] / cell_size)),
+                int(np.floor(centers[i, 2] / cell_size)),
+            )
+            cells.setdefault(key, []).append(int(i))
+
+        chunks = []
+        for members in cells.values():
+            # split oversize cells into chunks of `group`
+            for c0 in range(0, len(members), group):
+                chunks.append(members[c0 : c0 + group])
 
     bounds = []
     boxes = []
     slots = []  # original index or -1 per padded slot
-    for members in cells.values():
-        # split oversize cells into chunks of `group`
-        for c0 in range(0, len(members), group):
-            chunk = members[c0 : c0 + group]
-            pts = centers[chunk]
-            rs = np.abs(radii[chunk])
-            ctr = pts.mean(axis=0)
-            rad = float(np.max(np.linalg.norm(pts - ctr, axis=1) + rs))
-            bounds.append((*ctr.astype(np.float32), np.float32(rad * 1.0001)))
-            lo = (pts - rs[:, None]).min(axis=0)
-            hi = (pts + rs[:, None]).max(axis=0)
-            # widen by an absolute+relative margin (the sphere bound's
-            # 1.0001 analog) so f32 rounding can't shave a member surface
-            lo = lo - (1e-4 + 1e-4 * np.abs(lo))
-            hi = hi + (1e-4 + 1e-4 * np.abs(hi))
-            boxes.append((*lo.astype(np.float32), *hi.astype(np.float32)))
-            slots.extend(chunk + [-1] * (group - len(chunk)))
+    for chunk in chunks:
+        pts = centers[chunk]
+        rs = np.abs(radii[chunk])
+        ctr = pts.mean(axis=0)
+        rad = float(np.max(np.linalg.norm(pts - ctr, axis=1) + rs))
+        bounds.append((*ctr.astype(np.float32), np.float32(rad * 1.0001)))
+        lo = (pts - rs[:, None]).min(axis=0)
+        hi = (pts + rs[:, None]).max(axis=0)
+        # widen by an absolute+relative margin (the sphere bound's
+        # 1.0001 analog) so f32 rounding can't shave a member surface
+        lo = lo - (1e-4 + 1e-4 * np.abs(lo))
+        hi = hi + (1e-4 + 1e-4 * np.abs(hi))
+        boxes.append((*lo.astype(np.float32), *hi.astype(np.float32)))
+        slots.extend(list(chunk) + [-1] * (group - len(chunk)))
 
     uuid = np.array(order + slots, dtype=np.int32)
     total = len(uuid)

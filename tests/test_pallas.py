@@ -681,6 +681,69 @@ def test_cluster_scan_box_bounds_bitwise_equals_flat():
     assert float(st_b["segments"]) == float(st_s["segments"])
 
 
+def test_cluster_pad_knobs_are_invariant():
+    """cluster_pad_k / cluster_pad_group (the per-phase cost-slope probe
+    knobs, scripts/probe_cluster_slopes.py) append UNHITTABLE bound rows
+    / member slots: a padded render must be bitwise- and segment-
+    identical to the unpadded one — the padding is pure measured cost.
+    Guards the probe's validity AND the group_total/group split in the
+    kernel (winner-slot arithmetic must stay on the real stride)."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(5)
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5,
+                        cluster_scan=True, cluster_cpi=1)
+    opts_p = dataclasses.replace(opts, cluster_pad_k=1,
+                                 cluster_pad_group=4)
+    img, st = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts, return_stats=True
+    )
+    img_p, st_p = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts_p, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img))
+    assert float(st_p["segments"]) == float(st["segments"])
+
+
+def test_cluster_kd_partition_bitwise_equals_flat():
+    """cluster_partition='kd' (balanced median bisection,
+    scene/accel.py _kd_chunks): bounds stay conservative, so the image
+    and segment totals are bitwise-identical to the flat scan — the
+    partition only changes broad-phase visit ORDER. The kd split packs
+    the cover's small spheres into ceil(n/group) FULL leaves (the grid
+    partition leaves K=36 cells 9-16/16 full), shaving a bound-table
+    vreg row from the kernel's dominant per-iteration phase."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(5)
+    opts = TraceOptions(max_depth=12, russian_roulette_depth=5,
+                        cluster_scan=False)
+    opts_kd = dataclasses.replace(
+        opts, cluster_scan=True, cluster_partition="kd"
+    )
+    # host-side: balanced leaves, every member inside its box
+    part = pk._cluster_partition(scene, opts_kd)
+    k = part.bounds.shape[0]
+    g = part.group
+    occ = (np.asarray(part.uuid)[part.n_global:] >= 0).reshape(k, g)
+    n_small = int(occ.sum())
+    assert k == -(-n_small // g)  # minimal leaf count
+    assert occ.sum(axis=1).min() >= g - 1  # balanced (15-16 at g=16)
+
+    img_f, st_f = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts, return_stats=True
+    )
+    img_k, st_k = pk.render_image_pallas(
+        scene, dcam, W, H, 4, key, opts_kd, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(img_k), np.asarray(img_f))
+    assert float(st_k["segments"]) == float(st_f["segments"])
+
+
 def test_cluster_scan_adaptive_and_fallbacks(monkeypatch):
     """Adaptive cluster renders match flat bitwise; traced scenes and
     cluster-free scenes fall back to the flat scan cleanly."""
