@@ -189,6 +189,21 @@ class TraceOptions:
     cluster_cell: float = 4.0
     #: spheres per cluster (gather/test granularity)
     cluster_group: int = 16
+    #: pack the cluster walk's (entry q, cluster idx) visit order into
+    #: ONE sortable f32 key per bound slot: clear the 7 low mantissa
+    #: bits of the entry (a conservative FLOOR — entries only move
+    #: earlier, so no cluster is ever skipped) and OR the cluster index
+    #: into them (K <= 128 fits 7 bits). For positive f32 the bit
+    #: pattern is monotone in the value, so a single vector compare
+    #: replaces the two-array lexicographic cursor (q >, == & idx >) and
+    #: the second min-reduce that extracted the argmin — ~2.2x fewer
+    #: extract ops per iteration. Entries in the same 128-ulp bucket
+    #: visit in idx order instead of exact-q order (both are valid
+    #: conservative walks; images can differ only on exact member-q
+    #: ties, the documented cluster-scan caveat), and segment totals are
+    #: unchanged (bounces complete exactly once either way). Device A/B:
+    #: scripts/bench_cluster_kd.py --packed.
+    cluster_packed_key: bool = False
     #: partition builder: 'grid' (2-D cells of cluster_cell over (x,z),
     #: the round-4 design) or 'kd' (balanced recursive median bisection
     #: into exactly ceil(count/group) leaves — scene/accel.py

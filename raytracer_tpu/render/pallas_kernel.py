@@ -434,8 +434,13 @@ def _make_kernel(
                 # + winner slot id) and the visited cursor — the
                 # (entry q, cluster idx) of the last visited cluster,
                 # which with the lexicographic (q, idx) visit order fully
-                # encodes the visited SET (no per-cluster mask carry)
-                bq, bs, ql, il = pp
+                # encodes the visited SET (no per-cluster mask carry).
+                # cluster_packed_key carries the cursor as ONE packed
+                # f32 (floored entry bits | idx) instead of two arrays.
+                if opts.cluster_packed_key:
+                    bq, bs, kl = pp
+                else:
+                    bq, bs, ql, il = pp
             if has_self:
                 # the sphere this lane's origin sits on (last bounce's
                 # winner): exact far-root SELF-test below restores the
@@ -512,7 +517,9 @@ def _make_kernel(
                 # tracer.hit_world semantics: self-reentry resolves
                 # naturally (the origin sits inside the last-hit sphere's
                 # bound, so its cluster is visited first) - no self-test.
-                fresh = ql < jnp.float32(-1e38)
+                fresh = (
+                    kl if opts.cluster_packed_key else ql
+                ) < jnp.float32(-1e38)
                 g_best = jnp.full((r_sub, LANES), FILLQ)
                 g_slot = zero
                 for g in range(n_global):
@@ -579,12 +586,15 @@ def _make_kernel(
                     b_k1 = bnd_ref[:, 3:4]
                 # i32 iota + convert (the kernel's established pattern —
                 # a direct f32 iota is an untested Mosaic lowering)
-                idx_iota = jax.lax.broadcasted_iota(
+                idx_iota_i = jax.lax.broadcasted_iota(
                     jnp.int32, (k_pad_c, LANES), 0
-                ).astype(jnp.float32)
+                )
+                idx_iota = idx_iota_i.astype(jnp.float32)
                 cpi = opts.cluster_cpi
+                packed = opts.cluster_packed_key
                 sel_q = [[] for _ in range(cpi)]
                 sel_i = [[] for _ in range(cpi)]
+                sel_k = [[] for _ in range(cpi)]
                 done_rows = []
                 for row in range(r_sub):
                     dxr = dx[row : row + 1]
@@ -647,6 +657,32 @@ def _make_kernel(
                             jnp.maximum(nbb - sqb, min_q),
                             FILLQ,
                         )
+                    if packed:
+                        # pack (entry q, cluster idx) into ONE sortable
+                        # f32 key: clear the entry's 7 low mantissa bits
+                        # (FLOOR — conservative: entries only move
+                        # earlier, so no cluster is ever skipped before
+                        # the bounce completes) and OR the index in.
+                        # Positive-f32 bit patterns are monotone in the
+                        # value, so one vector compare implements the
+                        # lexicographic cursor and one min-reduce
+                        # extracts value AND argmin together.
+                        qb = jax.lax.bitcast_convert_type(qe, jnp.int32)
+                        keyf = jax.lax.bitcast_convert_type(
+                            jax.lax.bitwise_or(
+                                jax.lax.bitwise_and(qb, jnp.int32(~127)),
+                                idx_iota_i,
+                            ),
+                            jnp.float32,
+                        )
+                        klr = kl[row : row + 1]
+                        for j in range(cpi):
+                            unv = keyf > klr
+                            cand = jnp.where(unv, keyf, jnp.float32(jnp.inf))
+                            m = jnp.min(cand, axis=0, keepdims=True)
+                            sel_k[j].append(m)
+                            klr = m
+                        continue
                     qlr = ql[row : row + 1]
                     ilr = il[row : row + 1]
                     for j in range(cpi):
@@ -671,7 +707,30 @@ def _make_kernel(
                         (sel_q[0][row] >= bq[row : row + 1])
                         .astype(jnp.float32)
                     )
-                bdone = jnp.concatenate(done_rows, axis=0) > 0.5
+                if packed:
+                    # unpack at full (r_sub, LANES) shape (per-row bit
+                    # ops on (1,128) reduce outputs are the known Mosaic
+                    # sublane-broadcast trap; (8,128) int ops are proven
+                    # by the winner-bank gather below). done when the
+                    # floored nearest entry can't beat the best — floor
+                    # can only DELAY completion by a harmless extra
+                    # visit — or when the selection is a FILL/padding
+                    # key (>= FILLQ's floored pattern; covers the
+                    # bq == FILLQ miss case the floor would starve).
+                    keys0 = jnp.concatenate(sel_k[0], axis=0)
+                    k0i = jax.lax.bitcast_convert_type(keys0, jnp.int32)
+                    q0 = jax.lax.bitcast_convert_type(
+                        jax.lax.bitwise_and(k0i, jnp.int32(~127)),
+                        jnp.float32,
+                    )
+                    fill_floor = jnp.float32(
+                        np.int32(
+                            np.float32(3e38).view(np.int32) & ~np.int32(127)
+                        ).view(np.float32)
+                    )
+                    bdone = (q0 >= bq) | (keys0 >= fill_floor)
+                else:
+                    bdone = jnp.concatenate(done_rows, axis=0) > 0.5
                 ab = alive_b & bdone
                 segs = segs + jnp.sum(jnp.where(ab, one, zero))
                 u_live = alive_b & jnp.logical_not(bdone)
@@ -683,9 +742,24 @@ def _make_kernel(
                 # encoded unhittable - a harmless no-op; clamp is gather
                 # range safety only.
                 for j in range(cpi):
-                    cidx_f = jnp.concatenate(sel_i[j], axis=0)
-                    cidx_f = jnp.minimum(cidx_f, jnp.float32(LANES - 1))
-                    cidx = cidx_f.astype(jnp.int32)
+                    if packed:
+                        # low 7 key bits ARE the cluster index (an inf
+                        # FILL selection unpacks to 0 — harmless: its
+                        # lane is bounce-done, every update is masked)
+                        cidx = jax.lax.bitwise_and(
+                            jax.lax.bitcast_convert_type(
+                                jnp.concatenate(sel_k[j], axis=0),
+                                jnp.int32,
+                            ),
+                            jnp.int32(127),
+                        )
+                        cidx_f = cidx.astype(jnp.float32)
+                    else:
+                        cidx_f = jnp.concatenate(sel_i[j], axis=0)
+                        cidx_f = jnp.minimum(
+                            cidx_f, jnp.float32(LANES - 1)
+                        )
+                        cidx = cidx_f.astype(jnp.int32)
                     for mm in range(group_total):
                         mcx = jnp.take_along_axis(
                             mem_ref[4 * mm], cidx, axis=1
@@ -723,12 +797,20 @@ def _make_kernel(
                 # advance the visited cursor past this iteration's last
                 # selection (a FILL cursor = list exhausted: the next
                 # iteration extracts FILL and the lane completes)
-                ql = jnp.where(
-                    u_live, jnp.concatenate(sel_q[cpi - 1], axis=0), ql
-                )
-                il = jnp.where(
-                    u_live, jnp.concatenate(sel_i[cpi - 1], axis=0), il
-                )
+                if packed:
+                    kl = jnp.where(
+                        u_live, jnp.concatenate(sel_k[cpi - 1], axis=0),
+                        kl,
+                    )
+                else:
+                    ql = jnp.where(
+                        u_live, jnp.concatenate(sel_q[cpi - 1], axis=0),
+                        ql,
+                    )
+                    il = jnp.where(
+                        u_live, jnp.concatenate(sel_i[cpi - 1], axis=0),
+                        il,
+                    )
 
                 # winner params by BANKED per-lane gather on the slot id
                 # (consumed only by bounce-done lanes; non-done lanes
@@ -1241,6 +1323,10 @@ def _make_kernel(
                 ).astype(jnp.float32)
                 bq = jnp.where(ab, FILLQ, bq)
                 bs = jnp.where(ab, zero, bs)
+                if opts.cluster_packed_key:
+                    kl = jnp.where(ab, jnp.float32(-3e38), kl)
+                    return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                            s_f, i_f, k_f, alive, segs, bq, bs, kl)
                 ql = jnp.where(ab, jnp.float32(-3e38), ql)
                 il = jnp.where(ab, -one, il)
                 return (ox, oy, oz, dx, dy, dz, cr, cg, cb,
@@ -1281,12 +1367,14 @@ def _make_kernel(
         if has_self:
             init = init + (zero,) * 11
         if cluster:
-            # (best q, winner slot, visited-cursor q, visited-cursor idx)
-            # — all lanes start FRESH (cursor at -inf)
+            # (best q, winner slot, visited cursor — one packed key or
+            # a (q, idx) pair) — all lanes start FRESH (cursor at -inf)
             init = init + (
                 jnp.full((r_sub, LANES), FILLQ), zero,
-                jnp.full((r_sub, LANES), jnp.float32(-3e38)), -one,
+                jnp.full((r_sub, LANES), jnp.float32(-3e38)),
             )
+            if not opts.cluster_packed_key:
+                init = init + (-one,)
         final = jax.lax.while_loop(live_cond, body, init)
         segs = final[13]
         # last channel carries this tile's segment count (scalar,

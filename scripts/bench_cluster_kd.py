@@ -53,9 +53,18 @@ def main():
           f"({segs_f / wall_f / 1e6:.1f} Mrays/s)", flush=True)
 
     rows = [("grid:16", dict(cluster_partition="grid", cluster_group=16)),
+            ("grid:16+packed", dict(cluster_partition="grid",
+                                    cluster_group=16,
+                                    cluster_packed_key=True)),
             ("kd:16", dict(cluster_partition="kd", cluster_group=16)),
-            ("kd:32", dict(cluster_partition="kd", cluster_group=32)),
-            ("kd:8", dict(cluster_partition="kd", cluster_group=8))]
+            ("kd:16+packed", dict(cluster_partition="kd",
+                                  cluster_group=16,
+                                  cluster_packed_key=True)),
+            ("kd:32+packed", dict(cluster_partition="kd",
+                                  cluster_group=32,
+                                  cluster_packed_key=True)),
+            ("kd:8+packed", dict(cluster_partition="kd", cluster_group=8,
+                                 cluster_packed_key=True))]
     results = {}
     for name, kw in rows:
         oc = dataclasses.replace(base, cluster_scan=True, **kw)
