@@ -224,9 +224,15 @@ class TraceOptions:
     #: disc < 0 for every real ray), so walls at different pads isolate
     #: the kernel's per-phase cost slopes — broad+extract per bound-table
     #: vreg row, member gather+test per member slot — on real hardware.
-    #: Leave at 0 in production.
+    #: Leave at 0 in production. pad_global re-tests global sphere 0
+    #: (idempotent for the running min — strict < never re-updates) and
+    #: pad_banks appends winner-param banks the slot id can never
+    #: select, isolating the globals-phase and winner-gather shares of
+    #: the kernel's fixed tail.
     cluster_pad_k: int = 0
     cluster_pad_group: int = 0
+    cluster_pad_global: int = 0
+    cluster_pad_banks: int = 0
     #: rows-mesh load balancing: assign each shard every-Nth tile-row
     #: BLOCK (round-robin over k_slots·r_sub-row blocks) instead of one
     #: contiguous band. Per-pixel RNG/camera/accumulation are derived
@@ -272,11 +278,9 @@ class TraceOptions:
                 f"cluster_bounds must be 'sphere' or 'box', got "
                 f"{self.cluster_bounds!r}"
             )
-        if self.cluster_pad_k < 0 or self.cluster_pad_group < 0:
-            raise ValueError(
-                "cluster_pad_k / cluster_pad_group must be >= 0, got "
-                f"{self.cluster_pad_k} / {self.cluster_pad_group}"
-            )
+        if min(self.cluster_pad_k, self.cluster_pad_group,
+               self.cluster_pad_global, self.cluster_pad_banks) < 0:
+            raise ValueError("cluster_pad_* knobs must be >= 0")
         if self.cluster_partition not in ("grid", "kd"):
             raise ValueError(
                 f"cluster_partition must be 'grid' or 'kd', got "

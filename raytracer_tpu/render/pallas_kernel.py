@@ -188,11 +188,13 @@ def _make_kernel(
     # scatter/terminate/regenerate tail runs under a bounce-done mask.
     cluster = cdims is not None
     if cluster:
-        # group = winner-slot stride (real members per cluster);
-        # group_total >= group runs extra UNHITTABLE member slots for
-        # the cluster_pad_group cost probe (they never win, so the slot
-        # arithmetic below stays on the real stride)
-        k_pad_c, n_global, group, n_banks, group_total = cdims
+        # group = winner-slot stride (real members per cluster); the
+        # *_total variants >= their base run extra no-op work for the
+        # cluster_pad_* cost probes (scripts/probe_cluster_slopes.py):
+        # unhittable member slots, idempotent global re-tests, and
+        # never-selected winner banks — none can change a result
+        (k_pad_c, n_global, group, n_banks,
+         group_total, n_global_total, n_banks_total) = cdims
     # slots [0, g_full) run the full near→far root fallback; slots beyond
     # are statically known to never contain a ray origin (see
     # _containable_split), so their far root is never the closest
@@ -522,7 +524,11 @@ def _make_kernel(
                 ) < jnp.float32(-1e38)
                 g_best = jnp.full((r_sub, LANES), FILLQ)
                 g_slot = zero
-                for g in range(n_global):
+                for g0 in range(n_global_total):
+                    # pad iterations re-test global 0: the strict < on
+                    # the running min never re-updates, so they are
+                    # pure measured cost (cluster_pad_global)
+                    g = min(g0, n_global - 1)
                     gcx = uni_ref[_UNI_GLOBALS + 4 * g]
                     gcy = uni_ref[_UNI_GLOBALS + 4 * g + 1]
                     gcz = uni_ref[_UNI_GLOBALS + 4 * g + 2]
@@ -822,7 +828,9 @@ def _make_kernel(
                 wv = []
                 for p in range(nw):
                     v = zero
-                    for b in range(n_banks):
+                    # pad banks (cluster_pad_banks) hold zeros no slot
+                    # id can select — pure measured gather+select cost
+                    for b in range(n_banks_total):
                         gv = jnp.take_along_axis(
                             win_ref[p, b], woff, axis=1
                         )
@@ -1546,7 +1554,8 @@ def _cluster_reorder(scene: Scene, uuid) -> Scene:
 
 def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
                     group: int, r_sub: int,
-                    pad_k: int = 0, pad_group: int = 0):
+                    pad_k: int = 0, pad_group: int = 0,
+                    pad_banks: int = 0):
     """Device tables of the gathered cluster scan (see _make_kernel).
 
     - btab (K_pad, 4) bound SPHERES [bcx, bcy, bcz, bk1] (bk1 = |bc|² −
@@ -1630,8 +1639,16 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
         padw = padw.at[3].set(1.0)    # inv_r finite
         padw = padw.at[10].set(-1.0)  # uuid: no sphere
         win = jnp.concatenate([win, padw], axis=1)
+    if pad_banks:
+        # cluster_pad_banks: whole zero banks past every selectable
+        # slot id — pure measured gather+select cost in the winner loop
+        win = jnp.concatenate(
+            [win, jnp.zeros((11, pad_banks * LANES), jnp.float32)],
+            axis=1,
+        )
     wtab = jnp.broadcast_to(
-        win.reshape(11, n_banks, 1, LANES), (11, n_banks, r_sub, LANES)
+        win.reshape(11, n_banks + pad_banks, 1, LANES),
+        (11, n_banks + pad_banks, r_sub, LANES),
     )
 
     gflat = jnp.concatenate(
@@ -1876,12 +1893,15 @@ def _render_chunk_impl(
     if caux is not None:
         bounds, uuid = caux
         k = bounds.shape[0]
+        n_banks_w = -(-scene.count // LANES)
         cdims = (
             max(8, -(-k // 8) * 8) + 8 * opts.cluster_pad_k,  # K_pad
             n_global,
             opts.cluster_group,
-            -(-scene.count // LANES),     # winner banks
+            n_banks_w,
             opts.cluster_group + opts.cluster_pad_group,
+            (n_global + opts.cluster_pad_global) if n_global else 0,
+            n_banks_w + opts.cluster_pad_banks,
         )
     kernel = _make_kernel(
         _pad_spheres(scene.count), chunk_spp, opts.max_depth, r_sub, width,
@@ -1897,6 +1917,7 @@ def _render_chunk_impl(
         btab, mtab, wtab, gflat = _cluster_tables(
             scene, bounds, uuid, n_global, opts.cluster_group, r_sub,
             pad_k=opts.cluster_pad_k, pad_group=opts.cluster_pad_group,
+            pad_banks=opts.cluster_pad_banks,
         )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms + globals

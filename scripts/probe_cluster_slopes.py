@@ -118,6 +118,31 @@ def main():
         if ok:
             g_walls.append((group0 + pad, wall))
 
+    # --- globals slope (idempotent re-tests of global sphere 0) ---
+    n_global = part.n_global
+    gl_walls = [(n_global, wall0)]
+    for pad in (4, 8):
+        o = dataclasses.replace(base, cluster_pad_global=pad)
+        wall, segs, img = time_render(scene, dcam, w, h, spp, o, key)
+        ok = np.array_equal(img, img0) and segs == segs0
+        print(f"pad_global=+{pad} (globals {n_global + pad}): {wall:.3f}s "
+              f"invariant={ok}", flush=True)
+        if ok:
+            gl_walls.append((n_global + pad, wall))
+
+    # --- winner-bank slope (never-selected zero banks) ---
+    import raytracer_tpu.render.pallas_kernel as pkm
+    n_banks = -(-part.scene.count // pkm.LANES)
+    b_walls = [(n_banks, wall0)]
+    for pad in (2, 4):
+        o = dataclasses.replace(base, cluster_pad_banks=pad)
+        wall, segs, img = time_render(scene, dcam, w, h, spp, o, key)
+        ok = np.array_equal(img, img0) and segs == segs0
+        print(f"pad_banks=+{pad} (banks {n_banks + pad}): {wall:.3f}s "
+              f"invariant={ok}", flush=True)
+        if ok:
+            b_walls.append((n_banks + pad, wall))
+
     # drift check: re-render base at the end of the session
     wall_end, _, img_end = time_render(scene, dcam, w, h, spp, base, key)
     print(f"base re-run: {wall_end:.3f}s (drift "
@@ -126,20 +151,31 @@ def main():
 
     s_k, _ = fit_slope(*zip(*[(x, y) for x, y in k_walls]))
     s_g, _ = fit_slope(*zip(*[(x, y) for x, y in g_walls]))
+    s_gl = (fit_slope(*zip(*gl_walls))[0] if len(gl_walls) > 1 else 0.0)
+    s_b = (fit_slope(*zip(*b_walls))[0] if len(b_walls) > 1 else 0.0)
     broad_extract = s_k * vregs0
     member = s_g * group0
-    fixed = wall0 - broad_extract - member
+    globals_c = s_gl * n_global
+    winner = s_b * n_banks
+    fixed = wall0 - broad_extract - member - globals_c - winner
     print("\n== decomposition (production config) ==")
     print(f"broad+extract: {broad_extract:.3f}s "
           f"({100 * broad_extract / wall0:.0f}%)  "
           f"[{s_k * 1e3:.1f} ms per bound vreg row x {vregs0}]")
     print(f"member phase:  {member:.3f}s ({100 * member / wall0:.0f}%)  "
           f"[{s_g * 1e3:.1f} ms per member slot x {group0}]")
-    print(f"fixed/other:   {fixed:.3f}s ({100 * fixed / wall0:.0f}%)  "
-          f"[globals, winner gather, scatter/regen, RNG, dispatch]")
+    print(f"globals phase: {globals_c:.3f}s "
+          f"({100 * globals_c / wall0:.0f}%)  "
+          f"[{s_gl * 1e3:.1f} ms per global x {n_global}]")
+    print(f"winner gather: {winner:.3f}s ({100 * winner / wall0:.0f}%)  "
+          f"[{s_b * 1e3:.1f} ms per bank x {n_banks}]")
+    print(f"residual:      {fixed:.3f}s ({100 * fixed / wall0:.0f}%)  "
+          f"[scatter/regen, RNG, accumulation, loop, dispatch]")
     print("\n== speed-of-light bounds ==")
     for name, saved in (("no broad+extract", broad_extract),
                         ("no member phase", member),
+                        ("no globals phase", globals_c),
+                        ("no winner gather", winner),
                         ("K_pad 40 -> 32", s_k),
                         ("group 16 -> 12", 4 * s_g)):
         wl = wall0 - saved

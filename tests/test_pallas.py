@@ -696,7 +696,9 @@ def test_cluster_pad_knobs_are_invariant():
     opts = TraceOptions(max_depth=12, russian_roulette_depth=5,
                         cluster_scan=True, cluster_cpi=1)
     opts_p = dataclasses.replace(opts, cluster_pad_k=1,
-                                 cluster_pad_group=4)
+                                 cluster_pad_group=4,
+                                 cluster_pad_global=2,
+                                 cluster_pad_banks=1)
     img, st = pk.render_image_pallas(
         scene, dcam, W, H, 4, key, opts, return_stats=True
     )
