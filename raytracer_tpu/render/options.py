@@ -201,9 +201,12 @@ class TraceOptions:
     #: visit in idx order instead of exact-q order (both are valid
     #: conservative walks; images can differ only on exact member-q
     #: ties, the documented cluster-scan caveat), and segment totals are
-    #: unchanged (bounces complete exactly once either way). Device A/B:
-    #: scripts/bench_cluster_kd.py --packed.
-    cluster_packed_key: bool = False
+    #: unchanged (bounces complete exactly once either way). Production
+    #: default since the round-5 device A/B ADOPTED kd:16+packed at
+    #: 3.101 s / 400.0 Mrays/s vs the grid default's 3.191 s (bitwise +
+    #: exact-segment equal; scripts/bench_cluster_kd.py — packed only
+    #: wins COMBINED with the kd partition: grid+packed measured 3.300).
+    cluster_packed_key: bool = True
     #: partition builder: 'grid' (2-D cells of cluster_cell over (x,z),
     #: the round-4 design) or 'kd' (balanced recursive median bisection
     #: into exactly ceil(count/group) leaves — scene/accel.py
@@ -213,8 +216,13 @@ class TraceOptions:
     #: only 9-16/16 full; the kd split packs the same spheres into K=32
     #: leaves of 15-16 → 4 rows instead of 5, with tighter disjoint
     #: boxes. Conservative bounds → bitwise-identical images (exact
-    #: member tests); device A/B: scripts/bench_cluster_kd.py.
-    cluster_partition: str = "grid"
+    #: member tests). Production default 'kd' since the round-5 device
+    #: A/B (scripts/bench_cluster_kd.py): kd:16+packed 3.101 s / 400.0
+    #: Mrays/s vs grid:16's 3.191 s / 388.7, both gates green — kd only
+    #: wins WITH the packed cursor (kd alone measured 3.413: the looser
+    #: boxes cost more visits than the row saving returns; packed's
+    #: cheaper per-row extract flips the balance).
+    cluster_partition: str = "kd"
     #: INTERNAL perf-probe knobs (scripts/probe_cluster_slopes.py): pad
     #: the cluster bound table by 8·cluster_pad_k extra UNHITTABLE rows,
     #: and every cluster's member list by cluster_pad_group extra
