@@ -217,7 +217,8 @@ def _make_kernel(
         if cluster:
             # bnd_ref: (K_pad, 4) cluster bounds [bcx, bcy, bcz, bk1]
             # mem_ref: (group·4, 8, 128) member params, lanes = cluster id
-            # win_ref: (nw, n_banks, 8, 128) winner param banks by slot
+            # win_ref: (nw*n_banks, 8, 128) winner param banks by slot
+            # (flat row = p*banks + b, the mem_ref-style layout)
             bnd_ref, mem_ref, win_ref, *rest = tables
         else:
             sph_ref, prm_ref, *rest = tables
@@ -832,7 +833,7 @@ def _make_kernel(
                     # id can select — pure measured gather+select cost
                     for b in range(n_banks_total):
                         gv = jnp.take_along_axis(
-                            win_ref[p, b], woff, axis=1
+                            win_ref[p * n_banks_total + b], woff, axis=1
                         )
                         v = jnp.where(bank == jnp.int32(b), gv, v)
                     wv.append(v)
@@ -1572,7 +1573,7 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
       idx.shape, and an in-kernel sublane broadcast of a row slice is
       the known Mosaic "Sublane broadcast" trap). Lanes ≥ K are
       unhittable.
-    - wtab (11, n_banks, r_sub, LANES): winner params [cx, cy, cz,
+    - wtab (11*n_banks, r_sub, LANES): winner params [cx, cy, cz,
       inv_r (signed), mat, albedo rgb, fuzz, refraction, uuid] over all
       slots, banked by 128 for the banked per-lane gather.
     - gflat (4·n_global,): the GLOBAL spheres' [cx, cy, cz, k1],
@@ -1646,9 +1647,13 @@ def _cluster_tables(scene: Scene, bounds, uuid, n_global: int,
             [win, jnp.zeros((11, pad_banks * LANES), jnp.float32)],
             axis=1,
         )
+    # FLAT 3-D layout (row = p·banks + b), matching mem_ref: the 4-D
+    # (11, banks, r, L) form made every win_ref[p, b] slice ~4x the
+    # cost of a mem_ref[row] gather (measured 179 vs ~24 ms per bank,
+    # scripts/probe_cluster_slopes.py round 5)
     wtab = jnp.broadcast_to(
-        win.reshape(11, n_banks + pad_banks, 1, LANES),
-        (11, n_banks + pad_banks, r_sub, LANES),
+        win.reshape(11 * (n_banks + pad_banks), 1, LANES),
+        (11 * (n_banks + pad_banks), r_sub, LANES),
     )
 
     gflat = jnp.concatenate(
