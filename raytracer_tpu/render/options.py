@@ -241,6 +241,21 @@ class TraceOptions:
     cluster_pad_group: int = 0
     cluster_pad_global: int = 0
     cluster_pad_banks: int = 0
+    #: INTERNAL residual-tail probe knobs (scripts/probe_cluster_slopes
+    #: .py): replay N extra copies of a per-iteration TAIL phase, folded
+    #: through runtime-never-true selects the compiler cannot prove away
+    #: (u01/unit-vector sums are bounded below, camera rays are finite —
+    #: neither provable at compile time through hashes and carries), so
+    #: each replay is pure measured cost and the render stays bitwise-
+    #: and segment-identical. pad_rng = one full scatter RNG block
+    #: (unit_vec + unit_sphere + glass + RR draws) at never-used salts;
+    #: pad_accum = one extra 3·k_slots out_ref load-mult-add-store
+    #: accumulation round; pad_genray = one extra camera-ray generation
+    #: at a shifted sample index. Work with BOTH the flat and cluster
+    #: kernels. Leave at 0 in production.
+    pad_rng: int = 0
+    pad_accum: int = 0
+    pad_genray: int = 0
     #: rows-mesh load balancing: assign each shard every-Nth tile-row
     #: BLOCK (round-robin over k_slots·r_sub-row blocks) instead of one
     #: contiguous band. Per-pixel RNG/camera/accumulation are derived
@@ -289,6 +304,8 @@ class TraceOptions:
         if min(self.cluster_pad_k, self.cluster_pad_group,
                self.cluster_pad_global, self.cluster_pad_banks) < 0:
             raise ValueError("cluster_pad_* knobs must be >= 0")
+        if min(self.pad_rng, self.pad_accum, self.pad_genray) < 0:
+            raise ValueError("pad_* probe knobs must be >= 0")
         if self.cluster_partition not in ("grid", "kd"):
             raise ValueError(
                 f"cluster_partition must be 'grid' or 'kd', got "

@@ -1323,6 +1323,49 @@ def _make_kernel(
             cb = jnp.where(regen, one, cb)
             i_f = jnp.where(scat_cont, i_f + 1.0, i_f)
             i_f = jnp.where(regen, zero, i_f)
+
+            # --- INTERNAL tail slope probes (TraceOptions.pad_*) --------
+            # Each replay folds through a select whose predicate is FALSE
+            # at runtime but opaque at compile time (the compiler cannot
+            # range-analyze through the hash chain or loop carries), so
+            # the replayed work is pure measured cost and the render
+            # stays bitwise- and segment-identical
+            # (test_tail_pad_knobs_are_invariant).
+            for j in range(opts.pad_rng):
+                salt = 1009 + 16 * j
+                pvx, pvy, pvz = _unit_vec(pix, ctr, salt)
+                psx, psy, psz = _unit_sphere(pix, ctr, salt + 3)
+                pgu = _u01(pix, ctr, salt + 6)
+                pru = _u01(pix, ctr, salt + 7)
+                # unit components in [-1, 1], u01 in [0, 1): sum > -7
+                ghost = (pvx + pvy + pvz + psx + psy + psz
+                         + pgu + pru) < jnp.float32(-9.0)
+                cr = jnp.where(ghost, zero, cr)
+            if opts.pad_accum:
+                # i_f >= 0 always (init 0, +1 / reset-to-0 only): zm = 0
+                # at runtime, and con_* >= 0 so x + con·0 is bitwise x
+                zm = (i_f < jnp.float32(-0.5)).astype(jnp.float32)
+                ohz = [ohk[k] * zm for k in range(k_slots)]
+                for j in range(opts.pad_accum):
+                    for k in range(k_slots):
+                        out_ref[0, 3 * k] = (
+                            out_ref[0, 3 * k] + con_r * ohz[k]
+                        )
+                        out_ref[0, 3 * k + 1] = (
+                            out_ref[0, 3 * k + 1] + con_g * ohz[k]
+                        )
+                        out_ref[0, 3 * k + 2] = (
+                            out_ref[0, 3 * k + 2] + con_b * ohz[k]
+                        )
+            for j in range(opts.pad_genray):
+                gox, goy, goz, pgdx, pgdy, pgdz = gen_ray(
+                    s_f + jnp.float32(7001 + j), px2, py2, pix2
+                )
+                # camera rays are finite, |component| << 1e30
+                ghost = (gox + goy + goz + pgdx + pgdy + pgdz
+                         ) < jnp.float32(-1e30)
+                ox = jnp.where(ghost, gox, ox)
+
             if cluster:
                 # mid-walk lanes stay alive; completed-bounce lanes reset
                 # their cluster-walk state to fresh for the next bounce

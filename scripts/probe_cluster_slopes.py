@@ -143,6 +143,22 @@ def main():
         if ok:
             b_walls.append((n_banks + pad, wall))
 
+    # --- residual-tail replays: RNG block / accum round / genray ---
+    tails = {}
+    for knob, pads in (("pad_rng", (1, 2)), ("pad_accum", (1, 2)),
+                       ("pad_genray", (1, 2))):
+        walls = [(0, wall0)]
+        for pad in pads:
+            o = dataclasses.replace(base, **{knob: pad})
+            wall, segs, img = time_render(scene, dcam, w, h, spp, o, key)
+            ok = np.array_equal(img, img0) and segs == segs0
+            print(f"{knob}=+{pad}: {wall:.3f}s invariant={ok}",
+                  flush=True)
+            if ok:
+                walls.append((pad, wall))
+        tails[knob] = (fit_slope(*zip(*walls))[0]
+                       if len(walls) > 1 else 0.0)
+
     # drift check: re-render base at the end of the session
     wall_end, _, img_end = time_render(scene, dcam, w, h, spp, base, key)
     print(f"base re-run: {wall_end:.3f}s (drift "
@@ -171,11 +187,23 @@ def main():
           f"[{s_b * 1e3:.1f} ms per bank x {n_banks}]")
     print(f"residual:      {fixed:.3f}s ({100 * fixed / wall0:.0f}%)  "
           f"[scatter/regen, RNG, accumulation, loop, dispatch]")
+    rng_c = tails.get("pad_rng", 0.0)
+    acc_c = tails.get("pad_accum", 0.0)
+    gen_c = tails.get("pad_genray", 0.0)
+    rest = fixed - rng_c - acc_c - gen_c
+    print("\n== residual split (1 replay = 1 real phase round) ==")
+    print(f"scatter RNG block: {rng_c:.3f}s ({100 * rng_c / wall0:.0f}%)")
+    print(f"accumulation rnd:  {acc_c:.3f}s ({100 * acc_c / wall0:.0f}%)")
+    print(f"camera-ray regen:  {gen_c:.3f}s ({100 * gen_c / wall0:.0f}%)")
+    print(f"scatter math/loop: {rest:.3f}s ({100 * rest / wall0:.0f}%)")
     print("\n== speed-of-light bounds ==")
     for name, saved in (("no broad+extract", broad_extract),
                         ("no member phase", member),
                         ("no globals phase", globals_c),
                         ("no winner gather", winner),
+                        ("no scatter RNG", rng_c),
+                        ("no accumulation", acc_c),
+                        ("no camera regen", gen_c),
                         ("K_pad 40 -> 32", s_k),
                         ("group 16 -> 12", 4 * s_g)):
         wl = wall0 - saved

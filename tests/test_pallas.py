@@ -698,7 +698,10 @@ def test_cluster_pad_knobs_are_invariant():
     opts_p = dataclasses.replace(opts, cluster_pad_k=1,
                                  cluster_pad_group=4,
                                  cluster_pad_global=2,
-                                 cluster_pad_banks=1)
+                                 cluster_pad_banks=1,
+                                 # residual-tail probes: RNG replay,
+                                 # accumulation round, camera-ray regen
+                                 pad_rng=1, pad_accum=1, pad_genray=1)
     img, st = pk.render_image_pallas(
         scene, dcam, W, H, 4, key, opts, return_stats=True
     )
