@@ -133,6 +133,7 @@ def _pallas_band_chunks(scene, dcam, seed, samp0, spp_local, width, height,
         spp_local, width * local_h,
         scene.count if chunk_count is None else chunk_count,
         opts.max_depth, opts.russian_roulette_depth,
+        cost_scale=opts.cluster_chunk_cost if caux is not None else 1.0,
     )
     # the SHARED _chunk_schedule, exactly like both single-chip paths and
     # the sorted sharded path: identical per-pixel chunk grouping keeps
@@ -182,6 +183,7 @@ def _pallas_band_sorted(scene, dcam, seed, samp0, spp_local, width, height,
         spp_local, width * local_h,
         scene.count if chunk_count is None else chunk_count,
         opts.max_depth, opts.russian_roulette_depth,
+        cost_scale=opts.cluster_chunk_cost if caux is not None else 1.0,
     )
     sizes, uniform = pk._chunk_schedule(spp_local, chunk)
     chunk0 = sizes[0]
@@ -346,6 +348,7 @@ def render_image_sharded_pallas(
     chunk_local = pk._pick_chunk_spp(
         spp_local, width * local_h, chunk_count, opts.max_depth,
         opts.russian_roulette_depth,
+        cost_scale=opts.cluster_chunk_cost if caux is not None else 1.0,
     )
     use_sorted = opts.sort_pixels and spp_local > chunk_local
     r_sub, k_slots = _shard_tile_params(local_h)

@@ -223,6 +223,23 @@ class TraceOptions:
     #: boxes cost more visits than the row saving returns; packed's
     #: cheaper per-row extract flips the balance).
     cluster_partition: str = "kd"
+    #: per-sample cost of the CLUSTER kernel relative to the flat scan's
+    #: watchdog cost model, used only to budget spp launches
+    #: (pallas_kernel._pick_chunk_spp). The cluster kernel renders the
+    #: same scene ~2x faster than the flat scan, so 0.5 would fit ~2x
+    #: the spp per launch (cover: [41,153,153,153] -> [84,208,208]).
+    #: Default 1.0 — identical schedules to the flat scan — because the
+    #: fewer-launches idea is a MEASURED NEGATIVE: an exploratory sweep
+    #: showed +1.12x but did not reproduce in a drift-free window
+    #: (legacy 3.096 s vs 0.5-cost 3.156 s vs quarter-profile 3.106 s,
+    #: base re-run drift 1.001x — all within ~2% noise; the sweep's
+    #: window was itself ~14% slow, BENCH_sessions/
+    #: r5_chunk_schedule_AB_2026-08-19.log + scripts/bench_chunk_adopt
+    #: .py). Keeping 1.0 also keeps cluster-vs-flat renders bitwise
+    #: comparable at multi-chunk spp (the schedule sets the per-pixel
+    #: f32 accumulation order). Segment totals are schedule-invariant
+    #: either way. Ignored by the flat scan.
+    cluster_chunk_cost: float = 1.0
     #: INTERNAL perf-probe knobs (scripts/probe_cluster_slopes.py): pad
     #: the cluster bound table by 8·cluster_pad_k extra UNHITTABLE rows,
     #: and every cluster's member list by cluster_pad_group extra
@@ -306,6 +323,14 @@ class TraceOptions:
             raise ValueError("cluster_pad_* knobs must be >= 0")
         if min(self.pad_rng, self.pad_accum, self.pad_genray) < 0:
             raise ValueError("pad_* probe knobs must be >= 0")
+        if not (0.0 < self.cluster_chunk_cost <= 1.0):
+            # > 1 would starve launches below the flat model's floor;
+            # the cluster kernel never does MORE work per sample than
+            # the flat scan (it tests a subset of the same spheres)
+            raise ValueError(
+                f"cluster_chunk_cost must be in (0, 1], got "
+                f"{self.cluster_chunk_cost}"
+            )
         if self.cluster_partition not in ("grid", "kd"):
             raise ValueError(
                 f"cluster_partition must be 'grid' or 'kd', got "

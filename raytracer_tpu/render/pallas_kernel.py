@@ -2425,7 +2425,8 @@ def _finalize_flat(acc, width: int, height: int, spp: int, gamma: bool,
 
 
 def _pick_chunk_spp(
-    spp: int, p: int, s_count: int, max_depth: int, rr_depth: int = 0
+    spp: int, p: int, s_count: int, max_depth: int, rr_depth: int = 0,
+    cost_scale: float = 1.0,
 ) -> int:
     """Bound one launch's work so long renders never trip the device
     watchdog: target ~1.2e11 ray-sphere tests per launch ≈ 2 s of kernel
@@ -2435,9 +2436,13 @@ def _pick_chunk_spp(
     profile-guided pixel sorting can balance tiles. With path regeneration
     a launch's iteration count tracks E[path depth] (~3 on the cover
     scene), not the max depth over the tile, so the model uses a flat
-    effective depth; ``rr_depth`` shaves the deep-tail residue further."""
+    effective depth; ``rr_depth`` shaves the deep-tail residue further.
+    ``cost_scale`` rescales the per-sample cost for kernels that do
+    measurably less work per sample than the flat scan — the cluster
+    path passes ``TraceOptions.cluster_chunk_cost`` (~0.5, device A/B
+    in options.py) so its launches fill the same ~2 s budget."""
     eff_depth = min(max_depth, 3 if rr_depth else 4)
-    per_sample = p * eff_depth * max(s_count, 1)
+    per_sample = p * eff_depth * max(s_count, 1) * cost_scale
     return max(1, min(spp, int(1.2e11 // max(per_sample, 1))))
 
 
@@ -2777,17 +2782,23 @@ def _render_pallas(
         g_full = None
 
     # chunk_count: the ORIGINAL scene's slot count when the caller swapped
-    # in a padded cluster layout. The chunk schedule must match the flat
-    # scan's exactly — spp chunking sets the per-pixel f32 accumulation
-    # order, so a different schedule costs bitwise parity (measured on
-    # device: box:cpi=1 at 500 spp drifted ≤6.6e-7 with segments equal
-    # until this landed). Budgeting cluster chunks with the FLAT cost
-    # model is conservative for the watchdog: the cluster kernel does
-    # strictly less work per sample.
+    # in a padded cluster layout — chunking must never depend on the
+    # padded partition size (measured on device: box:cpi=1 at 500 spp
+    # drifted ≤6.6e-7 with segments equal until this landed). spp
+    # chunking sets the per-pixel f32 accumulation order; with
+    # cluster_chunk_cost=1.0 the cluster schedule matches the flat
+    # scan's exactly (bitwise parity mode). The watchdog stays safe
+    # either way: the cluster kernel does
+    # strictly less work per sample — cluster_chunk_cost (~0.5, device
+    # A/B) folds that in so launches fill the watchdog budget instead of
+    # overpaying dispatch/drain overhead. Schedules only diverge from
+    # the flat scan's at multi-chunk spp; the bitwise parity gates run
+    # single-launch spp (or pin cluster_chunk_cost=1.0).
     chunk = _pick_chunk_spp(
         spp, width * height,
         scene.count if chunk_count is None else chunk_count,
         opts.max_depth, opts.russian_roulette_depth,
+        cost_scale=opts.cluster_chunk_cost if caux is not None else 1.0,
     )
     if opts.adaptive_tolerance > 0.0:
         import dataclasses

@@ -67,7 +67,7 @@ def test_chunking_invariance(monkeypatch):
     opts = TraceOptions(max_depth=4)
     key = jax.random.PRNGKey(0)
     whole = pk.render_image_pallas(scene, dcam, 64, 32, 8, key, opts)
-    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a: 3)  # force 3+3+2
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 3)  # force 3+3+2
     split = pk.render_image_pallas(scene, dcam, 64, 32, 8, key, opts)
     np.testing.assert_allclose(
         np.asarray(whole), np.asarray(split), rtol=1e-5, atol=1e-6
@@ -500,7 +500,7 @@ def test_stratified_matches_jnp_and_chunk_invariant(monkeypatch):
 
     o4 = TraceOptions(max_depth=4, sampler="stratified")
     whole = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 8, key, o4))
-    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a: 3)
+    monkeypatch.setattr(pk, "_pick_chunk_spp", lambda *a, **k: 3)
     split = np.asarray(pk.render_image_pallas(scene, dcam, 64, 32, 8, key, o4))
     np.testing.assert_allclose(whole, split, rtol=1e-5, atol=1e-6)
 
@@ -619,18 +619,48 @@ def test_cluster_chunk_schedule_matches_flat(monkeypatch):
     assert part.scene.count > scene.count  # padding present: test bites
 
     seen = []
+    scales = {False: set(), True: set()}
+    in_cluster = [False]
     real = pk._pick_chunk_spp
 
     def spy(spp, p, s_count, *a, **k):
         seen.append(s_count)
+        scales[in_cluster[0]].add(k.get("cost_scale", 1.0))
         return real(spp, p, s_count, *a, **k)
 
     monkeypatch.setattr(pk, "_pick_chunk_spp", spy)
     pk.render_image_pallas(scene, dcam, W, H, 4, key, opts)
+    in_cluster[0] = True
     pk.render_image_pallas(scene, dcam, W, H, 4, key, opts_c)
     # every picker call — however many a path legitimately makes — must
     # see the ORIGINAL count, never the padded partition layout's
     assert seen and set(seen) == {scene.count}
+    # ... and the cluster path (only) threads the cluster_chunk_cost
+    # knob through (default 1.0 = flat-identical schedules — the
+    # fewer-launches idea is a measured negative, options.py; the knob
+    # stays for probes, scripts/bench_chunk_adopt.py)
+    assert scales[False] == {1.0}
+    assert scales[True] == {opts_c.cluster_chunk_cost}
+
+
+def test_pick_chunk_spp_cost_scale():
+    """cost_scale rescales the watchdog budget linearly: 0.5 doubles
+    the spp one launch can carry (cover: flat model chunk 85 ->
+    schedule [41,153,153,153]; 0.5-cost chunk 170 -> [84,208,208]).
+    Schedule effect on wall is a measured negative (options.py), but
+    the knob's MATH must stay exact — probe scripts rely on it."""
+    flat = pk._pick_chunk_spp(500, 1200 * 800, 488, 50, rr_depth=5)
+    half = pk._pick_chunk_spp(500, 1200 * 800, 488, 50, rr_depth=5,
+                              cost_scale=0.5)
+    assert flat == 85 and half == 170
+    assert pk._chunk_schedule(500, flat) == ([41, 153, 153, 153], True)
+    assert pk._chunk_schedule(500, half) == ([84, 208, 208], True)
+    # scale never lifts the spp cap
+    assert pk._pick_chunk_spp(8, 100, 10, 8, cost_scale=0.25) == 8
+    with pytest.raises(ValueError, match="cluster_chunk_cost"):
+        TraceOptions(cluster_chunk_cost=0.0)
+    with pytest.raises(ValueError, match="cluster_chunk_cost"):
+        TraceOptions(cluster_chunk_cost=1.5)
 
 
 def test_cluster_scan_box_bounds_bitwise_equals_flat():
