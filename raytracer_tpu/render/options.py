@@ -258,6 +258,23 @@ class TraceOptions:
     cluster_pad_group: int = 0
     cluster_pad_global: int = 0
     cluster_pad_banks: int = 0
+    #: fuse the cluster walk's bounce-done test into the VISITING
+    #: iteration: extract cluster_cpi+1 nearest-unvisited selections,
+    #: visit the first cpi as usual, then complete the bounce in the
+    #: SAME iteration when the (cpi+1)-th entry cannot beat the
+    #: just-updated best hit. The unfused walk only discovers
+    #: completion at the START of the next iteration (first selection
+    #: vs the PRE-update best), so every bounce pays one full
+    #: slab+extract+gather iteration that visits nothing — with the
+    #: cover's measured ~1-2 visited clusters/bounce that is 33-50% of
+    #: all walk iterations. The visited SET and ORDER are unchanged
+    #: (both schemes stop at the first selection-chain entry >= the
+    #: best-q after the previous visit; the extra selection is read,
+    #: never visited), so images and exact segment totals are bitwise
+    #: identical by construction; cost is one extra extraction round
+    #: (~3 vector ops + a min-reduce per row) per iteration. Ignored
+    #: by the flat scan.
+    cluster_fused_done: bool = False
     #: INTERNAL residual-tail probe knobs (scripts/probe_cluster_slopes
     #: .py): replay N extra copies of a per-iteration TAIL phase, folded
     #: through runtime-never-true selects the compiler cannot prove away

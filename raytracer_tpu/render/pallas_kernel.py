@@ -599,9 +599,18 @@ def _make_kernel(
                 idx_iota = idx_iota_i.astype(jnp.float32)
                 cpi = opts.cluster_cpi
                 packed = opts.cluster_packed_key
-                sel_q = [[] for _ in range(cpi)]
-                sel_i = [[] for _ in range(cpi)]
-                sel_k = [[] for _ in range(cpi)]
+                fused = opts.cluster_fused_done
+                # fused done (TraceOptions.cluster_fused_done): extract
+                # ONE selection beyond the cpi visits — after this
+                # iteration's visits and cursor advance, the nearest
+                # unvisited entry is exactly selection cpi (the chain IS
+                # the sorted unvisited order), so the bounce can complete
+                # in the visiting iteration instead of paying a full
+                # extra iteration to rediscover it next trip.
+                n_sel = cpi + 1 if fused else cpi
+                sel_q = [[] for _ in range(n_sel)]
+                sel_i = [[] for _ in range(n_sel)]
+                sel_k = [[] for _ in range(n_sel)]
                 done_rows = []
                 for row in range(r_sub):
                     dxr = dx[row : row + 1]
@@ -683,7 +692,7 @@ def _make_kernel(
                             jnp.float32,
                         )
                         klr = kl[row : row + 1]
-                        for j in range(cpi):
+                        for j in range(n_sel):
                             unv = keyf > klr
                             cand = jnp.where(unv, keyf, jnp.float32(jnp.inf))
                             m = jnp.min(cand, axis=0, keepdims=True)
@@ -692,7 +701,7 @@ def _make_kernel(
                         continue
                     qlr = ql[row : row + 1]
                     ilr = il[row : row + 1]
-                    for j in range(cpi):
+                    for j in range(n_sel):
                         unv = (qe > qlr) | (
                             (qe == qlr) & (idx_iota > ilr)
                         )
@@ -735,12 +744,16 @@ def _make_kernel(
                             np.float32(3e38).view(np.int32) & ~np.int32(127)
                         ).view(np.float32)
                     )
-                    bdone = (q0 >= bq) | (keys0 >= fill_floor)
+                    imm_done = (q0 >= bq) | (keys0 >= fill_floor)
                 else:
-                    bdone = jnp.concatenate(done_rows, axis=0) > 0.5
-                ab = alive_b & bdone
-                segs = segs + jnp.sum(jnp.where(ab, one, zero))
-                u_live = alive_b & jnp.logical_not(bdone)
+                    imm_done = jnp.concatenate(done_rows, axis=0) > 0.5
+                # imm_done: the pre-visit test (nearest unvisited entry
+                # cannot beat the best carried in from the PREVIOUS
+                # visit) — the unfused walk's only done test, kept in
+                # fused mode for lanes with nothing worth visiting at
+                # all this iteration (fresh lanes beaten by the globals
+                # seed, exhausted lists).
+                u_live = alive_b & jnp.logical_not(imm_done)
 
                 # exact-test the selected clusters' members (gathered by
                 # per-lane cluster id; one (8,128) gather per member
@@ -818,6 +831,38 @@ def _make_kernel(
                         u_live, jnp.concatenate(sel_i[cpi - 1], axis=0),
                         il,
                     )
+
+                if fused:
+                    # post-visit done: selection cpi is the nearest entry
+                    # still unvisited after this iteration's visits; the
+                    # bounce completes NOW when it cannot beat the just-
+                    # updated best (>=: an equal entry can only tie, and
+                    # ties keep the earlier winner). Same stop rule as
+                    # the unfused walk — it compares the same entry
+                    # against the same post-visit best, one iteration
+                    # later — so the visited set/order, images, and
+                    # exact segment totals are unchanged.
+                    if packed:
+                        keysN = jnp.concatenate(sel_k[cpi], axis=0)
+                        kNi = jax.lax.bitcast_convert_type(
+                            keysN, jnp.int32
+                        )
+                        qN = jax.lax.bitcast_convert_type(
+                            jax.lax.bitwise_and(kNi, jnp.int32(~127)),
+                            jnp.float32,
+                        )
+                        new_done = u_live & (
+                            (qN >= bq) | (keysN >= fill_floor)
+                        )
+                    else:
+                        # raw FILLQ selections satisfy qN >= bq directly
+                        qN = jnp.concatenate(sel_q[cpi], axis=0)
+                        new_done = u_live & (qN >= bq)
+                    bdone = imm_done | new_done
+                else:
+                    bdone = imm_done
+                ab = alive_b & bdone
+                segs = segs + jnp.sum(jnp.where(ab, one, zero))
 
                 # winner params by BANKED per-lane gather on the slot id
                 # (consumed only by bounce-done lanes; non-done lanes

@@ -711,6 +711,38 @@ def test_cluster_scan_box_bounds_bitwise_equals_flat():
     assert float(st_b["segments"]) == float(st_s["segments"])
 
 
+def test_cluster_fused_done_bitwise_equals_unfused():
+    """cluster_fused_done: the fused walk completes a bounce in the
+    VISITING iteration (selection cpi vs the just-updated best) instead
+    of paying a full extra iteration to rediscover it — but it applies
+    the same stop rule to the same entry/best pair, so the visited
+    set/order, the image, and the exact segment totals must be BITWISE
+    identical to the unfused walk. Pinned both ways explicitly so the
+    guard survives whichever default production adopts. One packed and
+    one unpacked config (the two cursor codepaths); interpret-mode
+    parity across packed x cpi in {1,2} was verified at adoption time
+    (PERF.md round-5 fused-done entry)."""
+    import dataclasses
+
+    scene, cam, *_ = presets.get_config("cover", W, H)
+    dcam = derive_camera(cam)
+    key = jax.random.PRNGKey(7)
+    base = TraceOptions(max_depth=12, russian_roulette_depth=5,
+                        cluster_scan=True)
+    for packed in (True, False):
+        o0 = dataclasses.replace(base, cluster_packed_key=packed,
+                                 cluster_fused_done=False)
+        o1 = dataclasses.replace(o0, cluster_fused_done=True)
+        i0, s0 = pk.render_image_pallas(
+            scene, dcam, W, H, 4, key, o0, return_stats=True
+        )
+        i1, s1 = pk.render_image_pallas(
+            scene, dcam, W, H, 4, key, o1, return_stats=True
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        assert float(s1["segments"]) == float(s0["segments"])
+
+
 def test_cluster_pad_knobs_are_invariant():
     """cluster_pad_k / cluster_pad_group (the per-phase cost-slope probe
     knobs, scripts/probe_cluster_slopes.py) append UNHITTABLE bound rows
