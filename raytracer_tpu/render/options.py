@@ -273,8 +273,11 @@ class TraceOptions:
     #: never visited), so images and exact segment totals are bitwise
     #: identical by construction; cost is one extra extraction round
     #: (~3 vector ops + a min-reduce per row) per iteration. Ignored
-    #: by the flat scan.
-    cluster_fused_done: bool = False
+    #: by the flat scan. PRODUCTION DEFAULT since the 2026-08-20 device
+    #: A/B: 1.417x on the cover (3.074 s -> 2.170 s, 571.8 Mrays/s),
+    #: bitwise-identical image, exact-equal segment totals
+    #: (BENCH_sessions/r5_fused_done_AB_ADOPT_2026-08-20.log).
+    cluster_fused_done: bool = True
     #: INTERNAL residual-tail probe knobs (scripts/probe_cluster_slopes
     #: .py): replay N extra copies of a per-iteration TAIL phase, folded
     #: through runtime-never-true selects the compiler cannot prove away
